@@ -1,0 +1,251 @@
+"""Core datatypes: scene, camera, lights, render settings.
+
+Dynamic state (anything that changes per frame) lives in NamedTuple pytrees of
+jnp arrays so the whole render step stays jittable.  Static configuration
+(resolutions, render mode, capacities) lives in the hashable frozen dataclass
+``RenderConfig`` which is passed as a static argument — one compiled executable
+per mode, mirroring the reference's six prebuilt pipelines
+(reference src/lib.rs:868-1096).
+
+Scene layout (TPU-first, not the reference's per-mesh buffer objects): all
+meshes of all models are packed into flat arrays.  Triangles are Morton-sorted
+at load time into fixed-size chunks so per-frame binning can operate on
+chunk-granularity screen bounding boxes (see ops/binning.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+# Number of triangles per binning chunk.  Triangles are Morton-ordered at scene
+# build so consecutive chunks are spatially compact.
+CHUNK_SIZE = 32
+
+
+class RenderMode(enum.IntEnum):
+    """Tab-cycled render modes (reference src/lib.rs:65-71, 1221-1229)."""
+
+    UNLIT = 0
+    LIT = 1
+    LIT_SHADOW = 2
+    WIREFRAME = 3
+    DEBUG = 4  # LitWithShadow shading + depth/shadow + frame-time overlays
+
+    def next(self) -> "RenderMode":
+        return RenderMode((int(self) + 1) % 5)
+
+
+class DebugTexture(enum.IntEnum):
+    """Key1-toggled debug overlay source (reference src/lib.rs:1282-1327)."""
+
+    SCENE_DEPTH = 0
+    SHADOW_MAP = 1
+
+
+class Scene(NamedTuple):
+    """Packed device-resident scene.  All shapes static per scene build.
+
+    Geometry is expanded over (model, instance) pairs = "objects": every
+    vertex row carries the object id whose (dynamic) transform positions it,
+    so instance animation (reference src/lib.rs:1382-1689) is a pure array
+    update of ``object_model``/``object_normal``.
+    """
+
+    # --- vertices (V rows, padded) ---
+    position: Array        # (V, 3) f32 object-space position
+    uv: Array              # (V, 2) f32
+    normal: Array          # (V, 3) f32
+    tangent: Array         # (V, 3) f32  (averaged per-triangle TBN, see io/)
+    bitangent: Array       # (V, 3) f32
+    vertex_object: Array   # (V,) i32 object id per vertex
+
+    # --- triangles (T rows, Morton-sorted, padded to a CHUNK_SIZE multiple) ---
+    tri_idx: Array         # (T, 3) i32 vertex indices
+    tri_mat: Array         # (T,) i32 material id
+    tri_valid: Array       # (T,) bool  False for padding rows
+
+    # --- objects = (model, instance) pairs; dynamic transforms ---
+    object_model: Array    # (O, 4, 4) f32 model matrix per object
+    object_normal: Array   # (O, 3, 3) f32 normal matrix per object
+
+    # --- materials / texture atlases ---
+    mat_diffuse_origin: Array  # (M, 2) i32 (x, y) texel origin in diffuse atlas
+    mat_diffuse_size: Array    # (M, 2) i32 (w, h) texels
+    mat_normal_origin: Array   # (M, 2) i32
+    mat_normal_size: Array     # (M, 2) i32
+    atlas_diffuse: Array       # (Ha, Wa, 3) f32, linear (sRGB pre-decoded)
+    atlas_normal: Array        # (Hb, Wb, 3) f32, raw [0, 1]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.position.shape[0]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_idx.shape[0]
+
+    @property
+    def num_chunks(self) -> int:
+        return self.tri_idx.shape[0] // CHUNK_SIZE
+
+
+class CameraState(NamedTuple):
+    """FPS camera pose (reference src/camera.rs:18-54)."""
+
+    position: Array  # (3,) f32
+    yaw: Array       # () f32 radians
+    pitch: Array     # () f32 radians
+
+
+class MovableLight(NamedTuple):
+    """The IJKL-movable point light (reference src/lib.rs:431-446)."""
+
+    position: Array  # (3,) f32
+    color: Array     # (3,) f32
+    range: Array     # () f32
+    yaw: Array       # () f32 (movement basis, reference src/light.rs:266-270)
+
+
+class PointLights(NamedTuple):
+    """Storage-buffer point light array (reference src/light.rs:42-49).
+
+    Padded to a static count; padding entries use color == 0 which contributes
+    exactly zero (the reference itself seeds one black dummy light,
+    src/lib.rs:453-460).
+    """
+
+    position: Array  # (P, 3) f32
+    color: Array     # (P, 3) f32
+    range: Array     # (P,) f32
+
+
+class DirectionalLight(NamedTuple):
+    """Rotatable sun with shadow mapping (reference src/light.rs:51-78)."""
+
+    color: Array             # (3,) f32
+    direction: Array         # (3,) f32
+    distance: Array          # () f32, default -2000
+    intensity: Array         # () f32, default 2 (shader hardcodes 10/0.5 —
+    #                          kept for uniform-layout parity)
+    shadow_scene_size: Array  # () f32, default 3000
+
+
+class Lights(NamedTuple):
+    movable: MovableLight
+    points: PointLights
+    directional: DirectionalLight
+
+
+class FrameState(NamedTuple):
+    """Everything dynamic that the jitted frame function consumes."""
+
+    camera: CameraState
+    lights: Lights
+    object_model: Array   # (O, 4, 4) — overrides Scene.object_model (animation)
+    object_normal: Array  # (O, 3, 3)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (hashable) render settings → one XLA executable per value."""
+
+    width: int = 1440            # reference default window (src/lib.rs:2056)
+    height: int = 1080
+    mode: RenderMode = RenderMode.LIT_SHADOW  # initial mode (src/lib.rs:1033)
+    hdr: bool = False
+    # Camera projection (reference src/lib.rs:384)
+    fovy_deg: float = 45.0
+    znear: float = 0.1
+    zfar: float = 10000.0
+    # Shadow map (reference src/lib.rs:738-758)
+    shadow_dim: int = 2048
+    # Depth bias of the shadow pipeline (reference src/lib.rs:896-900)
+    shadow_bias_constant: float = 2.0
+    shadow_bias_slope: float = 2.0
+    # Clear color (reference src/lib.rs:1761-1768)
+    clear_color: tuple = (0.1, 0.2, 0.3)
+    # Debug overlay source (Key1 toggle, reference src/lib.rs:1282-1327)
+    debug_texture: DebugTexture = DebugTexture.SCENE_DEPTH
+    # --- rasterizer tuning (no reference analog; TPU tile machinery) ---
+    tile_h: int = 32
+    tile_w: int = 128
+    max_tiles_per_chunk: int = 16   # bbox expansion slots before "global" bin
+    max_global_chunks: int = 256    # chunks binned to every tile
+    wire_thresh_px: float = 0.7     # wireframe edge half-width in pixels
+    # Pallas raster kernel: triangles evaluated per inner step
+    raster_tri_batch: int = 8
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def padded_width(self) -> int:
+        return self.tiles_x * self.tile_w
+
+    @property
+    def padded_height(self) -> int:
+        return self.tiles_y * self.tile_h
+
+    def with_(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default_lights(num_point_lights: int = 1) -> Lights:
+    """Initial light rig (reference src/lib.rs:431-514)."""
+    movable = MovableLight(
+        position=jnp.array([0.0, 100.0, 0.0], jnp.float32),
+        color=jnp.array([20.0, 20.0, 20.0], jnp.float32),
+        range=jnp.float32(256.0),
+        yaw=jnp.float32(jnp.deg2rad(-90.0)),
+    )
+    # One far-away black dummy light, like the reference's seed entry
+    # (src/lib.rs:453-460); extra slots stay black (zero contribution).
+    pos = jnp.zeros((num_point_lights, 3), jnp.float32)
+    pos = pos.at[:].set(jnp.array([99999.0, 999999.0, 99999.0], jnp.float32))
+    points = PointLights(
+        position=pos,
+        color=jnp.zeros((num_point_lights, 3), jnp.float32),
+        range=jnp.zeros((num_point_lights,), jnp.float32),
+    )
+    directional = DirectionalLight(
+        color=jnp.array([1.0, 1.0, 1.0], jnp.float32),
+        direction=jnp.array([0.0, -0.9902682, -0.1391731], jnp.float32),
+        distance=jnp.float32(-2000.0),
+        intensity=jnp.float32(2.0),
+        shadow_scene_size=jnp.float32(3000.0),
+    )
+    return Lights(movable=movable, points=points, directional=directional)
+
+
+def default_camera() -> CameraState:
+    """Initial pose (reference src/lib.rs:382)."""
+    return CameraState(
+        position=jnp.array([0.0, 5.0, 10.0], jnp.float32),
+        yaw=jnp.float32(jnp.deg2rad(-90.0)),
+        pitch=jnp.float32(jnp.deg2rad(-20.0)),
+    )
+
+
+def frame_state(scene: Scene, camera: CameraState, lights: Lights) -> FrameState:
+    return FrameState(camera=camera, lights=lights,
+                      object_model=scene.object_model,
+                      object_normal=scene.object_normal)

@@ -1,0 +1,31 @@
+"""Test harness: force the CPU backend with 8 virtual devices.
+
+Multi-chip sharding paths are validated on a virtual CPU mesh; the real-TPU
+path is exercised by bench.py / __graft_entry__.py on hardware.
+
+NOTE: on this machine the axon TPU-tunnel plugin registers itself from
+sitecustomize at interpreter start and takes minutes to connect.  For fast
+local iteration run tests via ``scripts/test.sh`` which unsets
+``PALLAS_AXON_POOL_IPS`` before Python starts; this conftest still forces the
+CPU backend either way so plain ``python -m pytest tests/`` is correct too.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: this host has a single CPU core, so cold XLA
+# compiles add up across runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/kani_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

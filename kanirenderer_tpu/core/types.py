@@ -149,6 +149,8 @@ class FrameState(NamedTuple):
     lights: Lights
     object_model: Array   # (O, 4, 4) — overrides Scene.object_model (animation)
     object_normal: Array  # (O, 3, 3)
+    frame_times_ms: Array  # (256,) ring buffer for the Debug overlay graph
+    #                        (reference src/frametime.rs:18-31)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -173,6 +175,7 @@ class RenderConfig:
     # Debug overlay source (Key1 toggle, reference src/lib.rs:1282-1327)
     debug_texture: DebugTexture = DebugTexture.SCENE_DEPTH
     # --- rasterizer tuning (no reference analog; TPU tile machinery) ---
+    raster_backend: str = "xla"  # "xla" (oracle/CPU) | "pallas" (TPU tiles)
     tile_h: int = 32
     tile_w: int = 128
     max_tiles_per_chunk: int = 16   # bbox expansion slots before "global" bin
@@ -245,7 +248,11 @@ def default_camera() -> CameraState:
     )
 
 
-def frame_state(scene: Scene, camera: CameraState, lights: Lights) -> FrameState:
+def frame_state(scene: Scene, camera: CameraState, lights: Lights,
+                frame_times_ms: Array | None = None) -> FrameState:
+    if frame_times_ms is None:
+        frame_times_ms = jnp.zeros(256, jnp.float32)
     return FrameState(camera=camera, lights=lights,
                       object_model=scene.object_model,
-                      object_normal=scene.object_normal)
+                      object_normal=scene.object_normal,
+                      frame_times_ms=frame_times_ms)

@@ -1,0 +1,137 @@
+"""render_frame — the whole per-frame pipeline as one jitted function.
+
+TPU equivalent of State::update + State::render (reference
+src/lib.rs:1382-2046): camera/light uniform math, optional shadow pass,
+main visibility-buffer raster, mode-selected shading, debug overlays, and
+surface encoding, all fused under one ``jax.jit`` with the render mode as
+static configuration (the reference's six prebuilt pipelines become five
+compiled executables).
+
+Pass sequence per mode (matching src/lib.rs:1707-1914):
+  UNLIT / LIT / WIREFRAME: main raster → shade
+  LIT_SHADOW:              shadow raster → main raster → shade(PCF)
+  DEBUG:                   LIT_SHADOW shading + depth/shadow quad +
+                           frame-time graph overlays
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from kanirenderer_tpu.core import math3d
+from kanirenderer_tpu.core.color import linear_to_srgb
+from kanirenderer_tpu.core.types import (DebugTexture, FrameState,
+                                         RenderConfig, RenderMode, Scene)
+from kanirenderer_tpu.ops import raster_xla
+from kanirenderer_tpu.ops.interpolate import interpolate
+from kanirenderer_tpu.ops.vertex import run_vertex_stage, triangle_setup
+from kanirenderer_tpu.passes import overlay
+from kanirenderer_tpu.shade import forward
+
+Array = jnp.ndarray
+
+
+class FrameOutputs(NamedTuple):
+    image: Array   # (H, W, 3) f32 display-encoded (sRGB for LDR, linear HDR)
+    depth: Array   # (H, W) f32 scene depth (for picking / debug)
+    shadow: Array  # (shadow_dim, shadow_dim) f32 (all-ones when pass skipped)
+
+
+def _rasterize(setup, cfg: RenderConfig, wireframe: bool):
+    """Raster backend dispatch.  The Pallas tile kernel handles big scenes
+    on TPU; the XLA brute-force path is the oracle/CPU fallback."""
+    if cfg.raster_backend == "pallas":
+        from kanirenderer_tpu.ops import raster_pallas
+        return raster_pallas.rasterize(setup, cfg, wireframe=wireframe)
+    return raster_xla.rasterize_xla(
+        setup, cfg.width, cfg.height, wireframe=wireframe,
+        wire_thresh=cfg.wire_thresh_px)
+
+
+def _rasterize_depth(setup, cfg: RenderConfig):
+    if cfg.raster_backend == "pallas":
+        from kanirenderer_tpu.ops import raster_pallas
+        return raster_pallas.rasterize_depth(setup, cfg)
+    return raster_xla.rasterize_depth_xla(setup, cfg.shadow_dim)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def render_frame(scene: Scene, state: FrameState,
+                 config: RenderConfig) -> FrameOutputs:
+    cfg = config
+    mode = cfg.mode
+
+    # --- per-frame uniform math (≈ State::update, src/lib.rs:1382-1704) ---
+    proj = math3d.perspective(jnp.deg2rad(cfg.fovy_deg), cfg.aspect,
+                              cfg.znear, cfg.zfar)
+    view = math3d.camera_view_matrix(state.camera.position, state.camera.yaw,
+                                     state.camera.pitch)
+    view_proj = proj @ view
+    light_vp = math3d.directional_light_view_projection(
+        state.lights.directional.direction,
+        state.lights.directional.distance,
+        state.lights.directional.shadow_scene_size)
+
+    vout = run_vertex_stage(scene, state.object_model, state.object_normal,
+                            view_proj, state.camera.position, state.lights,
+                            light_vp)
+
+    # --- shadow pass (modes LitWithShadow/Debug, src/lib.rs:1721-1751) ---
+    needs_shadow = mode in (RenderMode.LIT_SHADOW, RenderMode.DEBUG)
+    if needs_shadow:
+        sh_setup = triangle_setup(
+            vout.light_clip, scene.tri_idx, scene.tri_valid,
+            cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
+            depth_bias_constant=cfg.shadow_bias_constant,
+            depth_bias_slope=cfg.shadow_bias_slope)
+        shadow_map = _rasterize_depth(sh_setup.setup, cfg)
+    else:
+        shadow_map = jnp.ones((cfg.shadow_dim, cfg.shadow_dim), jnp.float32)
+
+    # --- main raster ---
+    wireframe = mode == RenderMode.WIREFRAME
+    setup = triangle_setup(vout.clip, scene.tri_idx, scene.tri_valid,
+                           cfg.width, cfg.height,
+                           cull_backfaces=not wireframe)
+    vis = _rasterize(setup.setup, cfg, wireframe=wireframe)
+    pix = interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings)
+
+    # --- shading ---
+    if mode == RenderMode.UNLIT:
+        color = forward.shade_unlit(scene, pix)
+    elif mode == RenderMode.LIT:
+        color = forward.shade_lit(scene, pix, state.lights, None, cfg.hdr)
+    elif mode == RenderMode.WIREFRAME:
+        color = forward.shade_wireframe(pix)
+    else:  # LIT_SHADOW or DEBUG
+        color = forward.shade_lit(scene, pix, state.lights, shadow_map,
+                                  cfg.hdr)
+
+    clear = jnp.asarray(cfg.clear_color, jnp.float32)
+    image = jnp.where(pix.mask[..., None], color, clear)
+
+    # --- debug overlays (src/lib.rs:1865-1914) ---
+    if mode == RenderMode.DEBUG:
+        if cfg.debug_texture == DebugTexture.SHADOW_MAP:
+            dbg_tex = shadow_map
+        else:
+            dbg_tex = vis.z
+        image = overlay.debug_texture_quad(image, dbg_tex, cfg.znear, cfg.zfar)
+        image = overlay.frame_time_graph(image, state.frame_times_ms)
+
+    # --- surface encoding: sRGB store for the LDR Rgba8UnormSrgb surface,
+    # raw linear for the HDR Rgba16Float surface (src/lib.rs:321-329) ---
+    if cfg.hdr:
+        image = jnp.clip(image, 0.0, 1.0)
+    else:
+        image = linear_to_srgb(image)
+    return FrameOutputs(image=image, depth=vis.z, shadow=shadow_map)
+
+
+def linearize_depth(depth: Array, znear: float, zfar: float) -> Array:
+    """Depth-picking linearization (reference src/lib.rs:2000-2013)."""
+    return znear * zfar / (zfar - depth * (zfar - znear))

@@ -22,10 +22,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Persistent compilation cache: this host has a single CPU core, so cold XLA
-# compiles add up across runs.
-import jax  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/kani_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NOTE: the JAX persistent compilation cache is intentionally NOT enabled —
+# on this host the XLA:CPU AOT loader reports machine-feature mismatches on
+# reload (SIGILL risk).  Runtime compiles are cheap enough for these tests.

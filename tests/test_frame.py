@@ -1,0 +1,119 @@
+"""End-to-end render_frame tests across the five modes (cube scene)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import kanirenderer_tpu as kani
+from kanirenderer_tpu.models.procedural import cube_scene
+from kanirenderer_tpu.passes.frame import render_frame
+
+SCENE = cube_scene()
+LIGHTS = kani.default_lights()
+
+OUTSIDE_CAM = kani.CameraState(
+    position=jnp.array([60.0, 45.0, 80.0], jnp.float32),
+    yaw=jnp.float32(np.deg2rad(-127.0)),
+    pitch=jnp.float32(np.deg2rad(-20.0)))
+
+CLEAR_SRGB = np.array([0.349, 0.484, 0.584])  # srgb(0.1, 0.2, 0.3)
+
+
+def render(mode, camera=OUTSIDE_CAM, hdr=False, **cfgkw):
+    cfg = kani.RenderConfig(width=128, height=96, mode=mode, hdr=hdr,
+                            shadow_dim=256, **cfgkw)
+    state = kani.frame_state(SCENE, camera, LIGHTS)
+    return render_frame(SCENE, state, cfg)
+
+
+def test_modes_render_and_differ():
+    images = {}
+    for mode in kani.RenderMode:
+        out = render(mode)
+        img = np.asarray(out.image)
+        assert img.shape == (96, 128, 3)
+        assert np.isfinite(img).all()
+        assert img.min() >= 0.0 and img.max() <= 1.0
+        images[mode] = img
+    # lit vs unlit vs wireframe produce different pictures
+    assert not np.allclose(images[kani.RenderMode.UNLIT],
+                           images[kani.RenderMode.LIT])
+    assert not np.allclose(images[kani.RenderMode.LIT],
+                           images[kani.RenderMode.WIREFRAME])
+
+
+def test_background_is_clear_color():
+    out = render(kani.RenderMode.LIT)
+    img = np.asarray(out.image)
+    bg = np.asarray(out.depth) >= 1.0
+    assert bg.any()
+    # LDR surface: sRGB-encoded clear color (0.1, 0.2, 0.3)
+    np.testing.assert_allclose(img[bg].mean(axis=0), CLEAR_SRGB, atol=2e-3)
+
+
+def test_outside_view_covers_plausible_area():
+    out = render(kani.RenderMode.LIT)
+    cov = (np.asarray(out.depth) < 1.0).mean()
+    assert 0.25 < cov < 0.6
+
+
+def test_inside_view_backface_culled():
+    # Default camera sits inside res/cube.obj-scale cube: with wgpu
+    # FrontFace::Ccw + cull Back the interior faces are culled.
+    out = render(kani.RenderMode.LIT, camera=kani.default_camera())
+    assert (np.asarray(out.depth) >= 1.0).all()
+
+
+def test_wireframe_interior_transparent():
+    out = render(kani.RenderMode.WIREFRAME)
+    cov = (np.asarray(out.depth) < 1.0).mean()
+    assert 0.0 < cov < 0.15  # edges only
+
+
+def test_hdr_differs_from_ldr():
+    ldr = np.asarray(render(kani.RenderMode.LIT_SHADOW, hdr=False).image)
+    hdr = np.asarray(render(kani.RenderMode.LIT_SHADOW, hdr=True).image)
+    assert not np.allclose(ldr, hdr)
+
+
+def test_shadow_map_populated_only_when_needed():
+    out_lit = render(kani.RenderMode.LIT)
+    assert (np.asarray(out_lit.shadow) == 1.0).all()
+    out_sh = render(kani.RenderMode.LIT_SHADOW)
+    assert (np.asarray(out_sh.shadow) < 1.0).any()
+
+
+def test_debug_mode_overlays():
+    out = render(kani.RenderMode.DEBUG)
+    img = np.asarray(out.image)
+    # frame-time graph: a red line exists in the bottom-right region
+    region = img[-60:, -100:]
+    red = (region[..., 0] > 0.9) & (region[..., 1] < 0.1) & (region[..., 2] < 0.1)
+    assert red.any()
+
+
+def test_movable_light_moves_shading():
+    out1 = render(kani.RenderMode.LIT)
+    lights2 = LIGHTS._replace(movable=LIGHTS.movable._replace(
+        position=jnp.array([200.0, 30.0, 100.0], jnp.float32)))
+    state2 = kani.frame_state(SCENE, OUTSIDE_CAM, lights2)
+    cfg = kani.RenderConfig(width=128, height=96, mode=kani.RenderMode.LIT,
+                            shadow_dim=256)
+    out2 = render_frame(SCENE, state2, cfg)
+    assert not np.allclose(np.asarray(out1.image), np.asarray(out2.image))
+
+
+def test_point_light_array_contributes():
+    # a real point light near the cube adds light vs the dummy-only rig
+    pts = kani.PointLights(
+        position=jnp.array([[60.0, 40.0, 60.0]], jnp.float32),
+        color=jnp.array([[10.0, 0.0, 0.0]], jnp.float32),
+        range=jnp.array([256.0], jnp.float32))
+    lights2 = LIGHTS._replace(points=pts)
+    state2 = kani.frame_state(SCENE, OUTSIDE_CAM, lights2)
+    cfg = kani.RenderConfig(width=128, height=96, mode=kani.RenderMode.LIT,
+                            shadow_dim=256)
+    out2 = render_frame(SCENE, state2, cfg)
+    base = render(kani.RenderMode.LIT)
+    d = np.asarray(out2.image) - np.asarray(base.image)
+    fg = np.asarray(base.depth) < 1.0
+    assert d[fg][:, 0].mean() > 1e-4  # red light adds red

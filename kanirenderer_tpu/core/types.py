@@ -179,6 +179,7 @@ class RenderConfig:
     tile_h: int = 32
     tile_w: int = 128
     max_tiles_per_chunk: int = 16   # bbox expansion slots before "global" bin
+    max_chunks_per_tile: int = 256  # per-tile binned chunk list capacity
     max_global_chunks: int = 256    # chunks binned to every tile
     wire_thresh_px: float = 0.7     # wireframe edge half-width in pixels
     # Pallas raster kernel: triangles evaluated per inner step

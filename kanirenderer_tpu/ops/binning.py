@@ -1,0 +1,119 @@
+"""Per-frame tile binning for the Pallas rasterizer.
+
+The TPU analog of a GPU's tile binner: screen space is divided into
+(tile_h × tile_w) tiles, and each tile gets the list of *triangle chunks*
+(CHUNK_SIZE consecutive Morton-ordered triangles, see io/scene_loader.py)
+whose screen bounding boxes overlap it.  Because triangles are Morton-sorted
+at load, chunks are spatially compact, so chunk-granularity binning costs
+~T/CHUNK work instead of O(T · tiles).
+
+Scatter-free, sort-light pipeline (all dense XLA):
+ 1. chunk screen bbox  = min/max over each chunk's triangle bboxes;
+ 2. each chunk expands to ≤ ``max_tiles_per_chunk`` (tile, chunk) key slots
+    (key = tile_id * C + chunk_id); chunks spanning more tiles go to a
+    small "global" list applied to every tile;
+ 3. one sort of C·S int32 keys (tiny vs the frame) groups keys by tile;
+ 4. per-tile ranges via searchsorted; per-tile lists gathered to a dense
+    (tiles_y, tiles_x, L) table with the global list appended so every
+    tile's list is a contiguous valid prefix + count.
+
+No scatter ops and no O(T·tiles) masks anywhere — this is the part of the
+design that keeps 1080p × 262K-triangle frames inside the 16 ms budget.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from kanirenderer_tpu.core.types import CHUNK_SIZE
+
+Array = jnp.ndarray
+
+_SENTINEL = jnp.int32(2**31 - 1)
+
+
+class TileBins(NamedTuple):
+    tile_lists: Array   # (tiles_y, tiles_x, L) i32 chunk ids, -1 padded
+    tile_counts: Array  # (tiles_y, tiles_x) i32 valid prefix length
+    num_chunks: int     # C (static)
+
+
+@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
+                                   "max_tiles_per_chunk", "max_chunks_per_tile",
+                                   "max_global_chunks"))
+def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
+               tile_h: int, max_tiles_per_chunk: int = 16,
+               max_chunks_per_tile: int = 256,
+               max_global_chunks: int = 256) -> TileBins:
+    """bbox: (T, 4) f32 per-triangle pixel bounds from triangle_setup
+    (invalid triangles carry empty boxes)."""
+    T = bbox.shape[0]
+    C = T // CHUNK_SIZE
+    S = max_tiles_per_chunk
+    K = max_chunks_per_tile
+    G = max_global_chunks
+    num_tiles = tiles_x * tiles_y
+
+    b = bbox.reshape(C, CHUNK_SIZE, 4)
+    cx0 = b[..., 0].min(axis=1)
+    cy0 = b[..., 1].min(axis=1)
+    cx1 = b[..., 2].max(axis=1)
+    cy1 = b[..., 3].max(axis=1)
+    nonempty = (cx1 > cx0) & (cy1 > cy0)
+
+    tx0 = jnp.clip((cx0 // tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip((cy0 // tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    tx1 = jnp.clip(((cx1 - 1.0) // tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty1 = jnp.clip(((cy1 - 1.0) // tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    span_w = tx1 - tx0 + 1
+    span_h = ty1 - ty0 + 1
+    span = span_w * span_h
+    small = nonempty & (span <= S)
+    glob = nonempty & (span > S)
+
+    # --- expansion: (C, S) keys ---
+    slots = jnp.arange(S, dtype=jnp.int32)[None, :]     # (1, S)
+    dx = slots % span_w[:, None]
+    dy = slots // span_w[:, None]
+    tile_id = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
+    chunk_id = jnp.arange(C, dtype=jnp.int32)[:, None]
+    key = tile_id * C + chunk_id
+    valid_slot = small[:, None] & (slots < span[:, None])
+    key = jnp.where(valid_slot, key, _SENTINEL)
+
+    skey = jnp.sort(key.reshape(-1))                    # (C*S,)
+    schunk = jnp.where(skey == _SENTINEL, -1, skey % C)
+
+    # --- per-tile ranges ---
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(skey, tids * C)
+    ends = jnp.searchsorted(skey, (tids + 1) * C)
+    counts = jnp.minimum(ends - starts, K).astype(jnp.int32)
+
+    # --- global chunk list (spans > S tiles) ---
+    gkey = jnp.where(glob, jnp.arange(C, dtype=jnp.int32), _SENTINEL)
+    gsorted = jnp.sort(gkey)[:G]
+    gcount = jnp.minimum(glob.sum(), G).astype(jnp.int32)
+    gids = jnp.where(gsorted == _SENTINEL, -1, gsorted)
+
+    # --- dense per-tile lists with the global list appended ---
+    L = K + G
+    slot_l = jnp.arange(L, dtype=jnp.int32)[None, :]    # (1, L)
+    in_local = slot_l < counts[:, None]
+    local_idx = jnp.clip(starts[:, None] + slot_l, 0, C * S - 1)
+    local_val = schunk[local_idx]
+    gslot = jnp.clip(slot_l - counts[:, None], 0, G - 1)
+    gval = gids[gslot]
+    in_glob = (slot_l >= counts[:, None]) & (slot_l < counts[:, None] + gcount)
+    lists = jnp.where(in_local, local_val, jnp.where(in_glob, gval, -1))
+    total = counts + gcount
+
+    return TileBins(
+        tile_lists=lists.reshape(tiles_y, tiles_x, L),
+        tile_counts=total.reshape(tiles_y, tiles_x),
+        num_chunks=C,
+    )

@@ -41,22 +41,22 @@ class FrameOutputs(NamedTuple):
     shadow: Array  # (shadow_dim, shadow_dim) f32 (all-ones when pass skipped)
 
 
-def _rasterize(setup, cfg: RenderConfig, wireframe: bool):
+def _rasterize(st, cfg: RenderConfig, wireframe: bool):
     """Raster backend dispatch.  The Pallas tile kernel handles big scenes
     on TPU; the XLA brute-force path is the oracle/CPU fallback."""
     if cfg.raster_backend == "pallas":
         from kanirenderer_tpu.ops import raster_pallas
-        return raster_pallas.rasterize(setup, cfg, wireframe=wireframe)
+        return raster_pallas.rasterize(st, cfg, wireframe=wireframe)
     return raster_xla.rasterize_xla(
-        setup, cfg.width, cfg.height, wireframe=wireframe,
+        st.setup, cfg.width, cfg.height, wireframe=wireframe,
         wire_thresh=cfg.wire_thresh_px)
 
 
-def _rasterize_depth(setup, cfg: RenderConfig):
+def _rasterize_depth(st, cfg: RenderConfig):
     if cfg.raster_backend == "pallas":
         from kanirenderer_tpu.ops import raster_pallas
-        return raster_pallas.rasterize_depth(setup, cfg)
-    return raster_xla.rasterize_depth_xla(setup, cfg.shadow_dim)
+        return raster_pallas.rasterize_depth(st, cfg)
+    return raster_xla.rasterize_depth_xla(st.setup, cfg.shadow_dim)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -88,7 +88,7 @@ def render_frame(scene: Scene, state: FrameState,
             cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
             depth_bias_constant=cfg.shadow_bias_constant,
             depth_bias_slope=cfg.shadow_bias_slope)
-        shadow_map = _rasterize_depth(sh_setup.setup, cfg)
+        shadow_map = _rasterize_depth(sh_setup, cfg)
     else:
         shadow_map = jnp.ones((cfg.shadow_dim, cfg.shadow_dim), jnp.float32)
 
@@ -97,7 +97,7 @@ def render_frame(scene: Scene, state: FrameState,
     setup = triangle_setup(vout.clip, scene.tri_idx, scene.tri_valid,
                            cfg.width, cfg.height,
                            cull_backfaces=not wireframe)
-    vis = _rasterize(setup.setup, cfg, wireframe=wireframe)
+    vis = _rasterize(setup, cfg, wireframe=wireframe)
     pix = interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings)
 
     # --- shading ---

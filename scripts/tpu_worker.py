@@ -1,0 +1,48 @@
+"""Long-lived TPU job worker.
+
+The axon TPU tunnel takes minutes to connect per process, so interactive TPU
+work runs through this single persistent process: drop ``NNN_name.py`` files
+into /tmp/tpu_jobs/ and the worker execs them in-process (shared namespace —
+jit caches persist across jobs), writing stdout/stderr + traceback to
+``NNN_name.out`` and a ``NNN_name.done`` marker.
+"""
+
+import io
+import os
+import sys
+import time
+import traceback
+from contextlib import redirect_stderr, redirect_stdout
+
+JOBS = "/tmp/tpu_jobs"
+os.makedirs(JOBS, exist_ok=True)
+sys.path.insert(0, "/root/repo")
+
+print("importing jax...", flush=True)
+t0 = time.time()
+import jax  # noqa: E402
+
+print(f"jax ready in {time.time()-t0:.0f}s: {jax.devices()}", flush=True)
+
+NAMESPACE: dict = {"jax": jax}
+done = set()
+while True:
+    jobs = sorted(f for f in os.listdir(JOBS)
+                  if f.endswith(".py") and f not in done)
+    for j in jobs:
+        done.add(j)
+        path = os.path.join(JOBS, j)
+        out_path = path[:-3] + ".out"
+        print(f"running {j}", flush=True)
+        buf = io.StringIO()
+        try:
+            with redirect_stdout(buf), redirect_stderr(buf):
+                src = open(path).read()
+                exec(compile(src, path, "exec"), NAMESPACE)
+        except BaseException:
+            buf.write("\n" + traceback.format_exc())
+        with open(out_path, "w") as f:
+            f.write(buf.getvalue())
+        open(path[:-3] + ".done", "w").close()
+        print(f"finished {j}", flush=True)
+    time.sleep(1.0)

@@ -1,0 +1,121 @@
+"""Binning correctness + Pallas rasterizer parity with the XLA oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import kanirenderer_tpu as kani
+from kanirenderer_tpu.core import math3d
+from kanirenderer_tpu.core.types import CHUNK_SIZE
+from kanirenderer_tpu.models.procedural import cube_scene, sponza_standin_scene
+from kanirenderer_tpu.ops import binning, raster_pallas, raster_xla
+from kanirenderer_tpu.ops.vertex import run_vertex_stage, triangle_setup
+
+
+def _setup_for(scene, cam, cfg, cull=True):
+    lights = kani.default_lights()
+    proj = math3d.perspective(jnp.deg2rad(cfg.fovy_deg), cfg.aspect,
+                              cfg.znear, cfg.zfar)
+    view = math3d.camera_view_matrix(cam.position, cam.yaw, cam.pitch)
+    lvp = math3d.directional_light_view_projection(
+        lights.directional.direction, lights.directional.distance, 3000.0)
+    vout = run_vertex_stage(scene, scene.object_model, scene.object_normal,
+                            proj @ view, cam.position, lights, lvp)
+    return triangle_setup(vout.clip, scene.tri_idx, scene.tri_valid,
+                          cfg.width, cfg.height, cull)
+
+
+OUTSIDE_CAM = kani.CameraState(
+    position=jnp.array([60.0, 45.0, 80.0], jnp.float32),
+    yaw=jnp.float32(np.deg2rad(-127.0)),
+    pitch=jnp.float32(np.deg2rad(-20.0)))
+
+COURTYARD_CAM = kani.CameraState(
+    position=jnp.array([-900.0, 180.0, 0.0], jnp.float32),
+    yaw=jnp.float32(0.0), pitch=jnp.float32(np.deg2rad(-5.0)))
+
+
+def test_binning_covers_all_tiles_with_relevant_chunks():
+    scene = sponza_standin_scene(target_tris=6000, num_materials=4,
+                                 tex_size=32)
+    cfg = kani.RenderConfig(width=256, height=192)
+    st = _setup_for(scene, COURTYARD_CAM, cfg)
+    bins = binning.bin_chunks(st.bbox, cfg.tiles_x, cfg.tiles_y,
+                              cfg.tile_w, cfg.tile_h)
+    lists = np.asarray(bins.tile_lists)
+    counts = np.asarray(bins.tile_counts)
+    bbox = np.asarray(st.bbox).reshape(-1, CHUNK_SIZE, 4)
+    cx0 = bbox[..., 0].min(1); cy0 = bbox[..., 1].min(1)
+    cx1 = bbox[..., 2].max(1); cy1 = bbox[..., 3].max(1)
+    # Every nonempty chunk must appear in every tile its bbox overlaps.
+    for ty in range(cfg.tiles_y):
+        for tx in range(cfg.tiles_x):
+            tile = set(lists[ty, tx, :counts[ty, tx]].tolist())
+            x0, x1 = tx * cfg.tile_w, (tx + 1) * cfg.tile_w
+            y0, y1 = ty * cfg.tile_h, (ty + 1) * cfg.tile_h
+            for c in range(len(cx0)):
+                if cx1[c] <= cx0[c]:
+                    continue
+                overlaps = (cx0[c] < x1 and cx1[c] > x0
+                            and cy0[c] < y1 and cy1[c] > y0)
+                if overlaps:
+                    assert c in tile, (ty, tx, c)
+    # valid prefix property: -1 only after count
+    for ty in range(cfg.tiles_y):
+        for tx in range(cfg.tiles_x):
+            n = counts[ty, tx]
+            assert (lists[ty, tx, :n] >= 0).all()
+            assert (lists[ty, tx, n:] == -1).all()
+
+
+def test_pallas_matches_xla_cube():
+    scene = cube_scene()
+    cfg = kani.RenderConfig(width=256, height=192)
+    st = _setup_for(scene, OUTSIDE_CAM, cfg)
+    vx = raster_xla.rasterize_xla(st.setup, cfg.width, cfg.height)
+    vp = raster_pallas.rasterize(st, cfg)
+    assert (np.asarray(vx.tri) == np.asarray(vp.tri)).all()
+    np.testing.assert_array_equal(np.asarray(vx.z), np.asarray(vp.z))
+    np.testing.assert_array_equal(np.asarray(vx.bary), np.asarray(vp.bary))
+
+
+def test_pallas_matches_xla_standin():
+    scene = sponza_standin_scene(target_tris=6000, num_materials=4,
+                                 tex_size=32)
+    cfg = kani.RenderConfig(width=256, height=192)
+    st = _setup_for(scene, COURTYARD_CAM, cfg)
+    vx = raster_xla.rasterize_xla(st.setup, cfg.width, cfg.height)
+    vp = raster_pallas.rasterize(st, cfg)
+    assert (np.asarray(vx.tri) == np.asarray(vp.tri)).all()
+    np.testing.assert_array_equal(np.asarray(vx.z), np.asarray(vp.z))
+
+
+def test_pallas_wireframe_matches_xla():
+    scene = cube_scene()
+    cfg = kani.RenderConfig(width=256, height=192)
+    st = _setup_for(scene, OUTSIDE_CAM, cfg, cull=False)
+    vx = raster_xla.rasterize_xla(st.setup, cfg.width, cfg.height,
+                                  wireframe=True,
+                                  wire_thresh=cfg.wire_thresh_px)
+    vp = raster_pallas.rasterize(st, cfg, wireframe=True)
+    # identical coverage up to float-assoc differences on edge boundaries
+    mismatch = (np.asarray(vx.tri) != np.asarray(vp.tri)).mean()
+    assert mismatch < 0.002, mismatch
+
+
+def test_pallas_shadow_depth_matches_xla():
+    scene = cube_scene()
+    cfg = kani.RenderConfig(width=128, height=128, shadow_dim=256)
+    lights = kani.default_lights()
+    lvp = math3d.directional_light_view_projection(
+        lights.directional.direction, lights.directional.distance, 3000.0)
+    proj = math3d.perspective(jnp.deg2rad(45.0), 1.0, 0.1, 1e4)
+    view = math3d.camera_view_matrix(OUTSIDE_CAM.position, OUTSIDE_CAM.yaw,
+                                     OUTSIDE_CAM.pitch)
+    vout = run_vertex_stage(scene, scene.object_model, scene.object_normal,
+                            proj @ view, OUTSIDE_CAM.position, lights, lvp)
+    st = triangle_setup(vout.light_clip, scene.tri_idx, scene.tri_valid,
+                        cfg.shadow_dim, cfg.shadow_dim, False,
+                        depth_bias_constant=2.0, depth_bias_slope=2.0)
+    zx = raster_xla.rasterize_depth_xla(st.setup, cfg.shadow_dim)
+    zp = raster_pallas.rasterize_depth(st, cfg)
+    np.testing.assert_array_equal(np.asarray(zx), np.asarray(zp))

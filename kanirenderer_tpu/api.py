@@ -1,0 +1,66 @@
+"""Public API — mirrors the reference's entry surface.
+
+``run(file_path, file_type, fullscreen_mode, use_hdr)`` mirrors
+``pub async fn run`` (reference src/lib.rs:2054) / the C ABI
+``run_kanirenderer`` (src/lib.rs:2174-2192): load the model (default cube
+when the path is empty/missing — src/resources.rs:73-79), build the render
+state, and drive the event loop.  On a headless TPU host the "window" is a
+display sink (PNG/GIF/window, see runtime/display.py) and input comes from
+an event source (scripted by default).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from kanirenderer_tpu.core.types import RenderConfig, RenderMode
+from kanirenderer_tpu.io.scene_loader import load_scene
+from kanirenderer_tpu.models.procedural import cube_scene
+from kanirenderer_tpu.runtime.loop import run_loop, scripted_flythrough
+
+
+def load_model_or_default(file_path: str, file_type: str = "opengl",
+                          instances: int = 1):
+    """Reference load_model fallback chain (src/resources.rs:73-79):
+    empty/missing path → the embedded default cube."""
+    if file_path and os.path.exists(file_path):
+        return load_scene(file_path, file_type=file_type, instances=instances)
+    if file_path:
+        print(f"{file_path!r} not found, using default cube")
+    return cube_scene(instances=instances)
+
+
+def run(file_path: str = "", file_type: str = "opengl",
+        fullscreen_mode: str = "windowed", use_hdr: bool = False,
+        width: int = 1440, height: int = 1080,
+        mode: RenderMode = RenderMode.LIT_SHADOW,
+        frames: int = 60, sink: str = "png", out: str | None = None,
+        events=None, raster_backend: str | None = None,
+        verbose: bool = True) -> dict:
+    """Load + render loop (reference run(), src/lib.rs:2054-2168).
+
+    Defaults match the reference: 1440×1080 window (src/lib.rs:2056),
+    initial mode LitWithShadow (src/lib.rs:1033), LDR unless use_hdr.
+    """
+    scene = load_model_or_default(file_path, file_type)
+    if raster_backend is None:
+        import jax
+        try:
+            on_tpu = any("tpu" in d.device_kind.lower()
+                         for d in jax.devices())
+        except Exception:
+            on_tpu = False
+        raster_backend = "pallas" if on_tpu else "xla"
+    cfg = RenderConfig(width=width, height=height, mode=mode, hdr=use_hdr,
+                       raster_backend=raster_backend)
+    if events is None:
+        events = scripted_flythrough(frames)
+    stats = run_loop(scene, events, config=cfg, sink_kind=sink,
+                     sink_path=out, max_frames=frames, verbose=verbose)
+    if verbose:
+        print(f"rendered {stats['frames']} frames, "
+              f"{stats['mean_ms']:.2f} ms avg ({stats['fps']:.1f} FPS), "
+              f"mode {stats['mode']}, fullscreen={fullscreen_mode}")
+    return stats

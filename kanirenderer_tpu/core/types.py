@@ -176,11 +176,12 @@ class RenderConfig:
     debug_texture: DebugTexture = DebugTexture.SCENE_DEPTH
     # --- rasterizer tuning (no reference analog; TPU tile machinery) ---
     raster_backend: str = "xla"  # "xla" (oracle/CPU) | "pallas" (TPU tiles)
-    tile_h: int = 32
+    tile_h: int = 8
     tile_w: int = 128
-    max_tiles_per_chunk: int = 16   # bbox expansion slots before "global" bin
-    max_chunks_per_tile: int = 256  # per-tile binned chunk list capacity
-    max_global_chunks: int = 256    # chunks binned to every tile
+    max_tiles_per_chunk: int = 64   # bbox expansion slots before "global" bin
+    max_chunks_per_tile: int = 640  # per-tile binned chunk list capacity
+    max_global_chunks: int = 128    # chunks binned to every tile
+    max_pairs: int = 32768          # pair-stream capacity (v2 rasterizer)
     wire_thresh_px: float = 0.7     # wireframe edge half-width in pixels
     # Pallas raster kernel: triangles evaluated per inner step
     raster_tri_batch: int = 8

@@ -39,6 +39,9 @@ _SENTINEL = jnp.int32(2**31 - 1)
 class TileBins(NamedTuple):
     tile_lists: Array   # (tiles_y, tiles_x, L) i32 chunk ids, -1 padded
     tile_counts: Array  # (tiles_y, tiles_x) i32 valid prefix length
+    packed: Array       # (num_tiles, 8, 128) i32 — flat slot 0 = count,
+    #                     slots 1.. = chunk ids; the tile-aligned block the
+    #                     Pallas kernel DMAs into SMEM
     num_chunks: int     # C (static)
 
 
@@ -112,8 +115,19 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     lists = jnp.where(in_local, local_val, jnp.where(in_glob, gval, -1))
     total = counts + gcount
 
+    # Packed layout for the Pallas kernel: each tile's row padded into an
+    # (8, 128) int32 block (DMA slices must be tile-aligned on TPU).
+    # Flat slot 0 = count, slots 1.. = chunk ids; capacity 1023 entries.
+    flat = jnp.concatenate([total[:, None], lists], axis=1)
+    cap = 8 * 128
+    if flat.shape[1] > cap:
+        raise ValueError(f"tile list capacity {flat.shape[1]} exceeds {cap}")
+    pad_cols = cap - flat.shape[1]
+    packed = jnp.pad(flat, ((0, 0), (0, pad_cols)),
+                     constant_values=-1).reshape(num_tiles, 8, 128)
     return TileBins(
         tile_lists=lists.reshape(tiles_y, tiles_x, L),
         tile_counts=total.reshape(tiles_y, tiles_x),
+        packed=packed,
         num_chunks=C,
     )

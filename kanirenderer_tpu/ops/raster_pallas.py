@@ -36,18 +36,34 @@ from kanirenderer_tpu.ops.vertex import NS, TriangleSetup
 Array = jnp.ndarray
 
 SUBBATCH = 8
+STRIP_H = 8   # strip rows for per-subbatch y-granular evaluation
+NBUF = 4      # chunk DMA pipeline depth
 _BIG = float("inf")
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    # Interpret on non-TPU backends (CPU tests).  NOTE: tunneled TPU
+    # platforms may register under a different backend name (e.g. "axon"),
+    # so detect by device kind, not backend name.
+    try:
+        return not any("tpu" in d.device_kind.lower()
+                       for d in jax.devices())
+    except Exception:
+        return True
 
 
-def _raster_kernel(lists_ref, counts_ref, setup_hbm, z_ref, tri_ref,
-                   b1_ref, b2_ref, chunk_buf, sem, *, tile_h, tile_w,
-                   wireframe, wire_thresh, depth_only):
+def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
+                   b1_ref, b2_ref, list_smem, chunk_buf, list_sem, sem, *,
+                   tile_h, tile_w, tiles_x, wireframe, wire_thresh,
+                   depth_only):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    tile_id = i * tiles_x + j
+
+    # Fetch this tile's packed chunk list [count, cid0, ...] into SMEM.
+    list_dma = pltpu.make_async_copy(lists_hbm.at[tile_id], list_smem,
+                                     list_sem)
+    list_dma.start()
 
     z_ref[:] = jnp.ones_like(z_ref)
     if not depth_only:
@@ -55,98 +71,153 @@ def _raster_kernel(lists_ref, counts_ref, setup_hbm, z_ref, tri_ref,
         b1_ref[:] = jnp.zeros_like(b1_ref)
         b2_ref[:] = jnp.zeros_like(b2_ref)
 
-    X = (j * tile_w).astype(jnp.float32) + 0.5 \
-        + jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
-    Y = (i * tile_h).astype(jnp.float32) + 0.5 \
-        + jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
-
-    count = counts_ref[0, 0]
+    list_dma.wait()
+    count = list_smem[0, 0]
 
     def get_cid(s):
-        return lists_ref[0, 0, s]
+        t = s + 1
+        return list_smem[t // 128, t % 128]
 
     def dma(slot, cid):
         return pltpu.make_async_copy(setup_hbm.at[cid], chunk_buf.at[slot],
                                      sem.at[slot])
 
-    @pl.when(count > 0)
-    def _():
-        dma(0, get_cid(0)).start()
+    # Warm the pipeline: start up to NBUF-1 chunk fetches ahead so the
+    # per-chunk DMA latency overlaps several iterations of compute.
+    for w in range(NBUF - 1):
+        @pl.when(w < count)
+        def _(w=w):
+            dma(w % NBUF, get_cid(w)).start()
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBBATCH, tile_h, tile_w), 0)
+    tx0f = (j * tile_w).astype(jnp.float32)
+    ty0f = (i * tile_h).astype(jnp.float32)
+
+    X = tx0f + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    Y = ty0f + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+
+    def eval_subbatch(rows, cid, b):
+        """Edge/depth evaluation of SUBBATCH triangles over the tile.
+
+        Division-free inner loop: depth stays as the rational zw/ww until
+        a single per-pixel divide after the in-batch tournament.  The
+        cross-multiplied compare ``zw_a·ww_b < zw_b·ww_a`` is exact enough
+        (scale-invariant relative error) and saves ~8 divides per
+        pixel·batch.
+        """
+
+        def lin(c0, c1, c2):
+            return (rows[:, c0][:, None, None] * X[None]
+                    + rows[:, c1][:, None, None] * Y[None]
+                    + rows[:, c2][:, None, None])
+
+        l0 = lin(0, 1, 2)
+        l1 = lin(3, 4, 5)
+        l2 = lin(6, 7, 8)
+        zw = lin(9, 10, 11)
+        ww = lin(12, 13, 14)
+
+        inside = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+        # depth-range clip without division: 0 <= zw and zw <= ww (ww > 0).
+        # No validity flag needed: invalid rows are all-zero → ww = 0.
+        covered = inside & (ww > 0.0) & (zw >= 0.0) & (zw <= ww)
+        if wireframe:
+            def edist(l, c0, c1):
+                g = jax.lax.rsqrt(rows[:, c0] ** 2 + rows[:, c1] ** 2
+                                  + 1e-30)
+                return l * g[:, None, None]
+            d = jnp.minimum(jnp.minimum(edist(l0, 0, 1), edist(l1, 3, 4)),
+                            edist(l2, 6, 7))
+            covered = covered & (d <= wire_thresh)
+
+        # In-batch tournament: covered fragments encoded as (zw, ww>0);
+        # invalid ones as (1, 0) which loses every cross-multiply compare.
+        # Rows are extracted to 2D up-front (Mosaic's strided 3D slices are
+        # not reliable) and merged as a python-level pairwise tree.
+        zw_c = jnp.where(covered, zw, 1.0)
+        ww_c = jnp.where(covered, ww, 0.0)
+
+        if depth_only:
+            entries = [(zw_c[k], ww_c[k]) for k in range(SUBBATCH)]
+        else:
+            lsum = l0 + l1 + l2
+            entries = [(zw_c[k], ww_c[k],
+                        jnp.full_like(zw_c[k], float(k)),
+                        l1[k], l2[k], lsum[k]) for k in range(SUBBATCH)]
+
+        def merge(a, bt):
+            take_b = bt[0] * a[1] < a[0] * bt[1]
+            return tuple(jnp.where(take_b, fb, fa)
+                         for fa, fb in zip(a, bt))
+
+        while len(entries) > 1:
+            entries = [merge(entries[k], entries[k + 1])
+                       for k in range(0, len(entries), 2)]
+        win = entries[0]
+
+        wvalid = win[1] > 0.0
+        z = win[0] / jnp.where(wvalid, win[1], 1.0)
+        hit = wvalid & (z < z_ref[:])
+        z_ref[:] = jnp.where(hit, z, z_ref[:])
+        if not depth_only:
+            rid = win[2].astype(jnp.int32)
+            lsum_w = jnp.where(win[5] != 0.0, win[5], 1e-30)
+            w1 = win[3] / lsum_w
+            w2 = win[4] / lsum_w
+            tid = cid * CHUNK_SIZE + b * SUBBATCH + rid
+            tri_ref[:] = jnp.where(hit, tid, tri_ref[:])
+            b1_ref[:] = jnp.where(hit, w1, b1_ref[:])
+            b2_ref[:] = jnp.where(hit, w2, b2_ref[:])
 
     def chunk_body(s, _):
-        slot = s % 2
+        slot = s % NBUF
 
-        @pl.when(s + 1 < count)
+        @pl.when(s + NBUF - 1 < count)
         def _():
-            dma((s + 1) % 2, get_cid(s + 1)).start()
+            dma((s + NBUF - 1) % NBUF, get_cid(s + NBUF - 1)).start()
 
         dma(slot, get_cid(s)).wait()
-        chunk = chunk_buf[slot]          # (CHUNK_SIZE, NS)
+        chunk = chunk_buf[slot]          # (CHUNK_SIZE, 128)
         cid = get_cid(s)
 
         for b in range(CHUNK_SIZE // SUBBATCH):
-            rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]  # (SB, NS)
+            rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
 
-            def lin(c0, c1, c2):
-                return (rows[:, c0][:, None, None] * X[None]
-                        + rows[:, c1][:, None, None] * Y[None]
-                        + rows[:, c2][:, None, None])
+            # Subbatch rejection: skip the pixel evaluation when none of
+            # these triangles' bboxes (setup lanes 16:20) touch this tile.
+            overlap = ((rows[:, NS + 0] < tx0f + tile_w)
+                       & (rows[:, NS + 2] > tx0f)
+                       & (rows[:, NS + 1] < ty0f + tile_h)
+                       & (rows[:, NS + 3] > ty0f))
 
-            l0 = lin(0, 1, 2)
-            l1 = lin(3, 4, 5)
-            l2 = lin(6, 7, 8)
-            zw = lin(9, 10, 11)
-            ww = lin(12, 13, 14)
-            vflag = (rows[:, 15] > 0.0)[:, None, None]
-
-            inside = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-            z = zw / jnp.where(ww != 0.0, ww, 1e-30)
-            covered = inside & (ww > 0.0) & (z >= 0.0) & (z <= 1.0) & vflag
-            if wireframe:
-                def edist(l, c0, c1):
-                    g = jax.lax.rsqrt(rows[:, c0] ** 2 + rows[:, c1] ** 2
-                                      + 1e-30)
-                    return l * g[:, None, None]
-                d = jnp.minimum(jnp.minimum(edist(l0, 0, 1), edist(l1, 3, 4)),
-                                edist(l2, 6, 7))
-                covered = covered & (d <= wire_thresh)
-
-            zc = jnp.where(covered, z, _BIG)
-            zmin = zc.min(axis=0)                       # (th, tw)
-            hit = zmin < z_ref[:]
-            if depth_only:
-                z_ref[:] = jnp.where(hit, zmin, z_ref[:])
-            else:
-                # winner row id: first row attaining zmin
-                rid = jnp.where(zc == zmin[None], row_iota, CHUNK_SIZE).min(axis=0)
-                onehot = (row_iota == rid[None]) & covered
-                lsum = l0 + l1 + l2
-                lsum = jnp.where(lsum != 0.0, lsum, 1e-30)
-                w1 = jnp.where(onehot, l1 / lsum, 0.0).sum(axis=0)
-                w2 = jnp.where(onehot, l2 / lsum, 0.0).sum(axis=0)
-                tid = cid * CHUNK_SIZE + b * SUBBATCH + rid
-                z_ref[:] = jnp.where(hit, zmin, z_ref[:])
-                tri_ref[:] = jnp.where(hit, tid, tri_ref[:])
-                b1_ref[:] = jnp.where(hit, w1, b1_ref[:])
-                b2_ref[:] = jnp.where(hit, w2, b2_ref[:])
+            @pl.when(overlap.any())
+            def _(rows=rows, cid=cid, b=b):
+                eval_subbatch(rows, cid, b)
         return 0
 
     jax.lax.fori_loop(0, count, chunk_body, 0)
 
 
-def _run(setup: Array, bins: binning.TileBins, width: int, height: int,
+def _run(setup: Array, bins_bbox: Array, bins: binning.TileBins,
+         width: int, height: int,
          tile_w: int, tile_h: int, wireframe: bool, wire_thresh: float,
          depth_only: bool):
     tiles_y, tiles_x, L = bins.tile_lists.shape
     C = setup.shape[0] // CHUNK_SIZE
-    setup_c = setup.reshape(C, CHUNK_SIZE, NS)
+    # Pad the 16 setup lanes to 128 so per-chunk DMA slices are
+    # tile-aligned (Mosaic requires (8, 128)-aligned memref slices).
+    # Lanes 16:20 carry the per-triangle screen bbox for in-kernel
+    # subbatch rejection.
+    setup_c = jnp.pad(setup.reshape(C, CHUNK_SIZE, NS),
+                      ((0, 0), (0, 0), (0, 128 - NS)))
+    setup_c = setup_c.at[:, :, NS:NS + 4].set(
+        bins_bbox.reshape(C, CHUNK_SIZE, 4))
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
 
     kernel = functools.partial(
-        _raster_kernel, tile_h=tile_h, tile_w=tile_w, wireframe=wireframe,
-        wire_thresh=wire_thresh, depth_only=depth_only)
+        _raster_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
+        wireframe=wireframe, wire_thresh=wire_thresh, depth_only=depth_only)
 
     out_shape = [jax.ShapeDtypeStruct((ph, pw), jnp.float32)]
     out_specs = [pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j))]
@@ -155,22 +226,17 @@ def _run(setup: Array, bins: binning.TileBins, width: int, height: int,
                       jax.ShapeDtypeStruct((ph, pw), jnp.float32),
                       jax.ShapeDtypeStruct((ph, pw), jnp.float32)]
         out_specs += [pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j))] * 3
-    else:
-        # dummy refs so the kernel signature stays uniform
-        pass
 
     in_specs = [
-        pl.BlockSpec((1, 1, L), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # packed tile lists
+        pl.BlockSpec(memory_space=pltpu.ANY),  # chunk setup rows
     ]
 
     if depth_only:
-        def kern(lists_ref, counts_ref, setup_hbm, z_ref, chunk_buf, sem):
-            kernel(lists_ref, counts_ref, setup_hbm, z_ref, None, None, None,
-                   chunk_buf, sem)
+        def kern(lists_hbm, setup_hbm, z_ref, list_smem, chunk_buf,
+                 list_sem, sem):
+            kernel(lists_hbm, setup_hbm, z_ref, None, None, None,
+                   list_smem, chunk_buf, list_sem, sem)
     else:
         kern = kernel
 
@@ -181,11 +247,13 @@ def _run(setup: Array, bins: binning.TileBins, width: int, height: int,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK_SIZE, NS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((8, 128), jnp.int32),
+            pltpu.VMEM((NBUF, CHUNK_SIZE, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=_interpret(),
-    )(bins.tile_lists, bins.tile_counts, setup_c)
+    )(bins.packed, setup_c)
     return outs
 
 
@@ -197,7 +265,7 @@ def rasterize(st: TriangleSetup, config: RenderConfig,
         st.bbox, cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h,
         cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
         cfg.max_global_chunks)
-    z, tri, b1, b2 = _run(st.setup, bins, cfg.width, cfg.height, cfg.tile_w,
+    z, tri, b1, b2 = _run(st.setup, st.bbox, bins, cfg.width, cfg.height, cfg.tile_w,
                           cfg.tile_h, wireframe, cfg.wire_thresh_px, False)
     H, W = cfg.height, cfg.width
     return VisBuffer(tri=tri[:H, :W], z=z[:H, :W],
@@ -215,6 +283,6 @@ def rasterize_depth(st: TriangleSetup, config: RenderConfig) -> Array:
         st.bbox, tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
         cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
         cfg.max_global_chunks)
-    (z,) = _run(st.setup, bins, dim, dim, cfg.tile_w, cfg.tile_h,
+    (z,) = _run(st.setup, st.bbox, bins, dim, dim, cfg.tile_w, cfg.tile_h,
                 False, 0.0, True)
     return z[:dim, :dim]

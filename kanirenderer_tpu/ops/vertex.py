@@ -154,6 +154,19 @@ def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
     if cull_backfaces:
         valid = valid & (det < 0.0)
 
+    # Frustum rejection — keeps invisible geometry out of the binner
+    # (unprojectable bboxes would otherwise go conservative-full-screen).
+    # wgpu clip volume: -w<=x<=w, -w<=y<=w, 0<=z<=w.
+    #  * all three w <= 0: entirely behind the eye plane → cull;
+    #  * all w > 0: standard same-plane outcode test;
+    #  * mixed-sign w: keep (conservative — plane tests flip for w < 0).
+    behind = (w <= 1e-30).all(-1)
+    all_front = (w > 0.0).all(-1)
+    out_plane = ((x < -w).all(-1) | (x > w).all(-1)
+                 | (y < -w).all(-1) | (y > w).all(-1)
+                 | (z < 0.0).all(-1) | (z > w).all(-1))
+    valid = valid & ~behind & ~(all_front & out_plane)
+
     # Interpolation rows: zw(p) = Σ l_i z_i, ww(p) = Σ l_i w_i.
     zrow = r0 * z[:, 0:1] + r1 * z[:, 1:2] + r2 * z[:, 2:3]
     wrow = r0 * w[:, 0:1] + r1 * w[:, 1:2] + r2 * w[:, 2:3]
@@ -171,16 +184,51 @@ def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
         # fold the bias into zrow's constant term (z' = z + bias)
         zrow = zrow + wrow * bias[:, None]
 
-    # Screen bbox.  Conservative full-screen when any w is too small
-    # (near-plane-crossing / external triangles).
-    wmin = w.min(axis=-1)
-    safe = wmin > 1e-6
-    sx = px / jnp.where(jnp.abs(pw) > 1e-20, pw, 1e-20)
-    sy = py / jnp.where(jnp.abs(pw) > 1e-20, pw, 1e-20)
-    x0 = jnp.where(safe, jnp.floor(sx.min(-1)), 0.0)
-    y0 = jnp.where(safe, jnp.floor(sy.min(-1)), 0.0)
-    x1 = jnp.where(safe, jnp.ceil(sx.max(-1)) + 1.0, float(width))
-    y1 = jnp.where(safe, jnp.ceil(sy.max(-1)) + 1.0, float(height))
+    # Screen bbox of the VISIBLE portion.  External (near-plane-crossing)
+    # triangles would project to unbounded regions, so the bbox — and only
+    # the bbox; coverage stays homogeneous and clip-free — is computed from
+    # the triangle clipped against w = eps: up to 3 front vertices plus up
+    # to 3 edge/near-plane intersection points.  This keeps near geometry
+    # tightly binned instead of conservative-full-screen (which would bin
+    # those chunks into every tile).
+    eps = 1e-6
+    front = w > eps
+    sx_v = px / jnp.where(front, pw, 1.0)
+    sy_v = py / jnp.where(front, pw, 1.0)
+
+    cand_x = [jnp.where(front[:, k], sx_v[:, k], jnp.inf) for k in range(3)]
+    cand_y = [jnp.where(front[:, k], sy_v[:, k], jnp.inf) for k in range(3)]
+    cand_x_max = [jnp.where(front[:, k], sx_v[:, k], -jnp.inf) for k in range(3)]
+    cand_y_max = [jnp.where(front[:, k], sy_v[:, k], -jnp.inf) for k in range(3)]
+    for a, b2 in ((0, 1), (1, 2), (2, 0)):
+        crosses = front[:, a] != front[:, b2]
+        denom = w[:, b2] - w[:, a]
+        t = (eps - w[:, a]) / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        ix = (px[:, a] + t * (px[:, b2] - px[:, a])) / eps
+        iy = (py[:, a] + t * (py[:, b2] - py[:, a])) / eps
+        # clamp the (numerically huge) intersection projections to a frame
+        # slightly beyond the viewport — binning clamps further anyway
+        ix = jnp.clip(ix, -1.0, width + 1.0)
+        iy = jnp.clip(iy, -1.0, height + 1.0)
+        cand_x.append(jnp.where(crosses, ix, jnp.inf))
+        cand_y.append(jnp.where(crosses, iy, jnp.inf))
+        cand_x_max.append(jnp.where(crosses, ix, -jnp.inf))
+        cand_y_max.append(jnp.where(crosses, iy, -jnp.inf))
+
+    x0 = jnp.floor(jnp.minimum(jnp.minimum(jnp.minimum(cand_x[0], cand_x[1]),
+                                           jnp.minimum(cand_x[2], cand_x[3])),
+                               jnp.minimum(cand_x[4], cand_x[5])))
+    y0 = jnp.floor(jnp.minimum(jnp.minimum(jnp.minimum(cand_y[0], cand_y[1]),
+                                           jnp.minimum(cand_y[2], cand_y[3])),
+                               jnp.minimum(cand_y[4], cand_y[5])))
+    x1 = jnp.ceil(jnp.maximum(jnp.maximum(
+        jnp.maximum(cand_x_max[0], cand_x_max[1]),
+        jnp.maximum(cand_x_max[2], cand_x_max[3])),
+        jnp.maximum(cand_x_max[4], cand_x_max[5]))) + 1.0
+    y1 = jnp.ceil(jnp.maximum(jnp.maximum(
+        jnp.maximum(cand_y_max[0], cand_y_max[1]),
+        jnp.maximum(cand_y_max[2], cand_y_max[3])),
+        jnp.maximum(cand_y_max[4], cand_y_max[5]))) + 1.0
     x0 = jnp.clip(x0, 0, width)
     y0 = jnp.clip(y0, 0, height)
     x1 = jnp.clip(x1, 0, width)
@@ -193,13 +241,16 @@ def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
     x0 = jnp.where(valid, x0, float(width))
     y0 = jnp.where(valid, y0, float(height))
 
-    setup = jnp.zeros((clip.shape[0] if False else tri_idx.shape[0], NS),
-                      jnp.float32)
-    setup = setup.at[:, 0:3].set(r0)
-    setup = setup.at[:, 3:6].set(r1)
-    setup = setup.at[:, 6:9].set(r2)
-    setup = setup.at[:, 9:12].set(zrow)
-    setup = setup.at[:, 12:15].set(wrow)
-    setup = setup.at[:, 15].set(valid.astype(jnp.float32))
+    # Invalid triangles get all-zero rows (ww ≡ 0 → never covered), so the
+    # rasterizers need no separate validity test; lane 15 keeps the flag
+    # for diagnostics.
+    vf = valid.astype(jnp.float32)[:, None]
+    setup = jnp.zeros((tri_idx.shape[0], NS), jnp.float32)
+    setup = setup.at[:, 0:3].set(r0 * vf)
+    setup = setup.at[:, 3:6].set(r1 * vf)
+    setup = setup.at[:, 6:9].set(r2 * vf)
+    setup = setup.at[:, 9:12].set(zrow * vf)
+    setup = setup.at[:, 12:15].set(wrow * vf)
+    setup = setup.at[:, 15].set(vf[:, 0])
     bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
     return TriangleSetup(setup=setup, bbox=bbox)

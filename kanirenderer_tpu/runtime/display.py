@@ -1,0 +1,120 @@
+"""Frame presentation: PNG/GIF writers and an optional live window.
+
+The reference presents to a winit swapchain window (src/lib.rs:2044).  A TPU
+host is typically headless, so the primary sinks are:
+
+* ``PngSink``  — one PNG per frame (or a single frame);
+* ``GifSink``  — animated GIF capture of a fly-through;
+* ``WindowSink`` — best-effort live window via PIL's ImageShow/tk when a
+  display is available; silently degrades to PNG dumping otherwise.
+
+All sinks take (H, W, 3) uint8 frames (already display-encoded).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from kanirenderer_tpu.io.image import write_png
+
+
+def to_uint8(image_f32) -> np.ndarray:
+    img = np.asarray(image_f32)
+    return np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
+class PngSink:
+    def __init__(self, path: str):
+        self.path = path
+        self.count = 0
+
+    def present(self, frame: np.ndarray) -> None:
+        if "%" in self.path:
+            path = self.path % self.count
+        elif self.count == 0:
+            path = self.path
+        else:
+            base, ext = os.path.splitext(self.path)
+            path = f"{base}_{self.count:04d}{ext}"
+        write_png(path, frame)
+        self.count += 1
+
+    def close(self) -> None:
+        pass
+
+
+class GifSink:
+    """Animated GIF via PIL (falls back to per-frame PNGs without PIL)."""
+
+    def __init__(self, path: str, fps: float = 30.0):
+        self.path = path
+        self.fps = fps
+        self.frames: list = []
+
+    def present(self, frame: np.ndarray) -> None:
+        self.frames.append(frame.copy())
+
+    def close(self) -> None:
+        if not self.frames:
+            return
+        try:
+            from PIL import Image
+            imgs = [Image.fromarray(f) for f in self.frames]
+            imgs[0].save(self.path, save_all=True, append_images=imgs[1:],
+                         duration=int(1000 / self.fps), loop=0)
+        except Exception:
+            base, _ = os.path.splitext(self.path)
+            for i, f in enumerate(self.frames):
+                write_png(f"{base}_{i:04d}.png", f)
+
+
+class WindowSink:
+    """Best-effort interactive window (tkinter).  Headless → PNG fallback."""
+
+    def __init__(self, width: int, height: int, title: str = "kanirenderer"):
+        self._fallback = None
+        self._tk = None
+        try:
+            import tkinter
+            from PIL import Image, ImageTk
+            root = tkinter.Tk()
+            root.title(title)
+            label = tkinter.Label(root)
+            label.pack()
+            self._tk = (tkinter, root, label, Image, ImageTk)
+        except Exception:
+            self._fallback = PngSink("/tmp/kanirenderer_frame_%05d.png")
+
+    def present(self, frame: np.ndarray) -> None:
+        if self._fallback is not None:
+            self._fallback.present(frame)
+            return
+        tkinter, root, label, Image, ImageTk = self._tk
+        photo = ImageTk.PhotoImage(Image.fromarray(frame))
+        label.configure(image=photo)
+        label.image = photo
+        root.update()
+
+    def close(self) -> None:
+        if self._tk is not None:
+            self._tk[1].destroy()
+
+
+def make_sink(kind: str, path: str | None, width: int, height: int):
+    if kind == "png":
+        return PngSink(path or "frame.png")
+    if kind == "gif":
+        return GifSink(path or "capture.gif")
+    if kind == "window":
+        return WindowSink(width, height)
+    if kind == "null":
+        class _Null:
+            def present(self, frame):
+                pass
+
+            def close(self):
+                pass
+        return _Null()
+    raise ValueError(f"unknown sink {kind!r}")

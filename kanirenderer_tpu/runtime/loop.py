@@ -1,0 +1,197 @@
+"""Host render loop — the app layer (reference ``run()``, src/lib.rs:2054-2168).
+
+Event-loop structure mapped to a headless-friendly design:
+
+* an ``InputSource`` yields per-frame ``Events`` (key presses/holds, mouse
+  deltas) — interactive backends can wrap a real window, while scripted
+  sources drive demos/benchmarks/tests;
+* controllers (runtime/controllers.py) integrate camera/light state;
+* hotkeys replicate the reference bindings: Tab cycles render modes
+  (src/lib.rs:1221-1229), Key1 toggles the debug texture
+  (src/lib.rs:1282-1327), Key2/Key3 move the sun distance, R/T/Y rotate
+  the sun (src/lib.rs:1329-1355), F1 cycles present modes
+  (src/lib.rs:1248-1280 — here: frame pacing), F11 fullscreen (window
+  backends only);
+* each frame calls the jitted render_frame and presents via a display sink.
+
+Mode changes swap the static RenderConfig → a different compiled executable,
+mirroring the reference's prebuilt-pipeline switch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterable, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from kanirenderer_tpu.core.types import (DebugTexture, FrameState, Lights,
+                                         RenderConfig, RenderMode, Scene,
+                                         default_camera, default_lights)
+from kanirenderer_tpu.passes.frame import render_frame, linearize_depth
+from kanirenderer_tpu.runtime import controllers
+from kanirenderer_tpu.runtime.display import make_sink, to_uint8
+from kanirenderer_tpu.runtime.frametime import FrameTimeGraph
+
+
+class Events(NamedTuple):
+    """One frame's worth of input."""
+
+    held: frozenset = frozenset()      # currently-held key names
+    pressed: frozenset = frozenset()   # keys newly pressed this frame
+    mouse_dx: float = 0.0
+    mouse_dy: float = 0.0
+    mouse_look: bool = False           # RMB held (src/lib.rs:1365-1369)
+    scroll: float = 0.0
+    click_pos: tuple | None = None     # LMB depth-pick (src/lib.rs:1370-1376)
+    quit: bool = False
+
+
+PRESENT_MODES = ["AutoVsync", "AutoNoVsync", "Fifo", "Immediate"]
+
+
+@dataclasses.dataclass
+class AppState:
+    """Mutable host-side app state (≈ the non-GPU parts of struct State)."""
+
+    config: RenderConfig
+    camera: object
+    lights: Lights
+    present_mode: int = 0
+    fullscreen: bool = False
+
+    def cycle_mode(self):
+        self.config = self.config.with_(mode=self.config.mode.next())
+
+    def toggle_debug_texture(self):
+        nxt = DebugTexture((int(self.config.debug_texture) + 1) % 2)
+        self.config = self.config.with_(debug_texture=nxt)
+
+
+def _camera_inputs(ev: Events) -> controllers.CameraInputs:
+    h = ev.held
+    return controllers.CameraInputs(
+        forward=1.0 if ("w" in h or "up" in h) else 0.0,
+        backward=1.0 if ("s" in h or "down" in h) else 0.0,
+        left=1.0 if ("a" in h or "left" in h) else 0.0,
+        right=1.0 if ("d" in h or "right" in h) else 0.0,
+        up=1.0 if "space" in h else 0.0,
+        down=1.0 if "lshift" in h else 0.0,
+        rotate_dx=ev.mouse_dx if ev.mouse_look else 0.0,
+        rotate_dy=ev.mouse_dy if ev.mouse_look else 0.0,
+        scroll=ev.scroll * -100.0,
+    )
+
+
+def _light_inputs(ev: Events) -> controllers.LightInputs:
+    h, p = ev.held, ev.pressed
+    return controllers.LightInputs(
+        forward=1.0 if "i" in h else 0.0,
+        backward=1.0 if "k" in h else 0.0,
+        left=1.0 if "j" in h else 0.0,
+        right=1.0 if "l" in h else 0.0,
+        up=1.0 if "u" in h else 0.0,
+        down=1.0 if "o" in h else 0.0,
+        d_range=(1.0 if "=" in p else 0.0) - (1.0 if "-" in p else 0.0),
+        d_color=(1.0 if "]" in p else 0.0) - (1.0 if "[" in p else 0.0),
+    )
+
+
+def run_loop(scene: Scene, events: Iterable[Events],
+             config: RenderConfig | None = None,
+             sink_kind: str = "null", sink_path: str | None = None,
+             max_frames: int | None = None,
+             verbose: bool = False) -> dict:
+    """Drive frames from an event stream.  Returns run statistics."""
+    cfg = config or RenderConfig()
+    app = AppState(config=cfg, camera=default_camera(),
+                   lights=default_lights())
+    sink = make_sink(sink_kind, sink_path, cfg.width, cfg.height)
+    graph = FrameTimeGraph()
+    frames = 0
+    last = time.perf_counter()
+    picked: list = []
+
+    for ev in events:
+        if ev.quit or (max_frames is not None and frames >= max_frames):
+            break
+        now = time.perf_counter()
+        dt = now - last
+        last = now
+
+        # --- hotkeys (State::input, src/lib.rs:1208-1379) ---
+        p = ev.pressed
+        if "tab" in p:
+            app.cycle_mode()
+        if "f1" in p:
+            app.present_mode = (app.present_mode + 1) % len(PRESENT_MODES)
+        if "f11" in p:
+            app.fullscreen = not app.fullscreen
+        if "1" in p:
+            app.toggle_debug_texture()
+        d = app.lights.directional
+        if "2" in p:
+            d = controllers.step_directional_distance(d, -10.0)
+        if "3" in p:
+            d = controllers.step_directional_distance(d, +10.0)
+        if "r" in ev.held:
+            d = controllers.rotate_directional_light(d, 4.0, 0.0, 0.0)
+        if "t" in ev.held:
+            d = controllers.rotate_directional_light(d, 0.0, 4.0, 0.0)
+        if "y" in ev.held:
+            d = controllers.rotate_directional_light(d, 0.0, 0.0, 4.0)
+
+        # --- controller integration (State::update) ---
+        app.camera = controllers.update_camera(app.camera,
+                                               _camera_inputs(ev), dt)
+        movable = controllers.update_movable_light(
+            app.lights.movable, _light_inputs(ev), dt)
+        app.lights = app.lights._replace(movable=movable, directional=d)
+
+        # --- render ---
+        graph.update(dt)
+        state = FrameState(
+            camera=app.camera, lights=app.lights,
+            object_model=scene.object_model,
+            object_normal=scene.object_normal,
+            frame_times_ms=jnp.asarray(graph.buffer))
+        out = render_frame(scene, state, app.config)
+        sink.present(to_uint8(out.image))
+        frames += 1
+
+        # --- depth picking (src/lib.rs:1923-2039) ---
+        if ev.click_pos is not None:
+            x, y = ev.click_pos
+            x = int(np.clip(x, 0, app.config.width - 1))
+            y = int(np.clip(y, 0, app.config.height - 1))
+            depth = float(np.asarray(out.depth)[y, x])
+            lin = float(linearize_depth(jnp.float32(depth),
+                                        app.config.znear, app.config.zfar))
+            picked.append((x, y, depth, lin))
+            if verbose:
+                print(f"depth at ({x},{y}): raw={depth:.6f} linear={lin:.2f}")
+
+        if verbose and frames % 60 == 0:
+            print(f"frame {frames}: {graph.mean_ms:.2f} ms "
+                  f"({graph.fps:.1f} FPS) mode={app.config.mode.name}")
+
+    sink.close()
+    return {
+        "frames": frames,
+        "mean_ms": graph.mean_ms,
+        "fps": graph.fps,
+        "mode": app.config.mode.name,
+        "present_mode": PRESENT_MODES[app.present_mode],
+        "picked": picked,
+    }
+
+
+def scripted_flythrough(n_frames: int, look: bool = True) -> Iterable[Events]:
+    """A deterministic W-forward + mouse-look event stream for demos/bench."""
+    for i in range(n_frames):
+        yield Events(held=frozenset(["w"]),
+                     mouse_dx=2.0 if look else 0.0,
+                     mouse_dy=0.3 if look else 0.0,
+                     mouse_look=look)

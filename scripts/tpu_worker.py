@@ -36,6 +36,10 @@ while True:
         print(f"running {j}", flush=True)
         buf = io.StringIO()
         try:
+            # Pick up repo edits: drop cached framework modules (jit caches
+            # for unchanged code survive via in-memory XLA caches anyway).
+            for mod in [m for m in sys.modules if m.startswith("kanirenderer_tpu")]:
+                del sys.modules[mod]
             with redirect_stdout(buf), redirect_stderr(buf):
                 src = open(path).read()
                 exec(compile(src, path, "exec"), NAMESPACE)

@@ -79,8 +79,8 @@ class Scene(NamedTuple):
     mat_diffuse_size: Array    # (M, 2) i32 (w, h) texels
     mat_normal_origin: Array   # (M, 2) i32
     mat_normal_size: Array     # (M, 2) i32
-    atlas_diffuse: Array       # (Ha, Wa, 3) f32, linear (sRGB pre-decoded)
-    atlas_normal: Array        # (Hb, Wb, 3) f32, raw [0, 1]
+    atlas_diffuse: Array       # (3, Ha, Wa) f32 planar, linear (sRGB decoded)
+    atlas_normal: Array        # (3, Hb, Wb) f32 planar, raw [0, 1]
 
     @property
     def num_vertices(self) -> int:
@@ -182,6 +182,8 @@ class RenderConfig:
     max_chunks_per_tile: int = 640  # per-tile binned chunk list capacity
     max_global_chunks: int = 128    # chunks binned to every tile
     max_pairs: int = 32768          # pair-stream capacity (v2 rasterizer)
+    shadow_chunks_per_tile: int = 640  # per-tile cap for the shadow raster
+    #   (ortho shadow projections concentrate geometry in few tiles)
     wire_thresh_px: float = 0.7     # wireframe edge half-width in pixels
     # Pallas raster kernel: triangles evaluated per inner step
     raster_tri_batch: int = 8

@@ -249,8 +249,9 @@ class SceneBuilder:
             mat_diffuse_size=jnp.asarray(diff_size),
             mat_normal_origin=jnp.asarray(norm_org),
             mat_normal_size=jnp.asarray(norm_size),
-            atlas_diffuse=jnp.asarray(diff_atlas),
-            atlas_normal=jnp.asarray(norm_atlas),
+            # channel-planar (3, H, W) for TPU-tileable sampling math
+            atlas_diffuse=jnp.asarray(np.moveaxis(diff_atlas, -1, 0)),
+            atlas_normal=jnp.asarray(np.moveaxis(norm_atlas, -1, 0)),
         )
 
 

@@ -281,7 +281,7 @@ def rasterize_depth(st: TriangleSetup, config: RenderConfig) -> Array:
     tiles_y = -(-dim // cfg.tile_h)
     bins = binning.bin_chunks(
         st.bbox, tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
-        cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
+        cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
         cfg.max_global_chunks)
     (z,) = _run(st.setup, st.bbox, bins, dim, dim, cfg.tile_w, cfg.tile_h,
                 False, 0.0, True)

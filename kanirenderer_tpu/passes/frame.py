@@ -60,8 +60,35 @@ def _rasterize_depth(st, cfg: RenderConfig):
 
 
 @partial(jax.jit, static_argnames=("config",))
+def render_shadow_map(scene: Scene, state: FrameState,
+                      config: RenderConfig) -> Array:
+    """Standalone shadow-map pass (reference src/lib.rs:1721-1751).
+
+    Exposed separately so the host loop can cache the map across frames
+    while the sun and geometry are unchanged (the camera doesn't affect
+    it) — the reference re-renders it every frame, we memoize.
+    """
+    cfg = config
+    light_vp = math3d.directional_light_view_projection(
+        state.lights.directional.direction,
+        state.lights.directional.distance,
+        state.lights.directional.shadow_scene_size)
+    model = state.object_model[scene.vertex_object]
+    world_pos = jnp.einsum("vij,vj->vi", model[:, :3, :3], scene.position) \
+        + model[:, :3, 3]
+    light_clip = math3d.transform_points_h(light_vp, world_pos)
+    sh_setup = triangle_setup(
+        light_clip, scene.tri_idx, scene.tri_valid,
+        cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
+        depth_bias_constant=cfg.shadow_bias_constant,
+        depth_bias_slope=cfg.shadow_bias_slope)
+    return _rasterize_depth(sh_setup, cfg)
+
+
+@partial(jax.jit, static_argnames=("config",))
 def render_frame(scene: Scene, state: FrameState,
-                 config: RenderConfig) -> FrameOutputs:
+                 config: RenderConfig,
+                 shadow_map: Array | None = None) -> FrameOutputs:
     cfg = config
     mode = cfg.mode
 
@@ -81,16 +108,19 @@ def render_frame(scene: Scene, state: FrameState,
                             light_vp)
 
     # --- shadow pass (modes LitWithShadow/Debug, src/lib.rs:1721-1751) ---
+    # A host-cached map may be supplied (see render_shadow_map).
     needs_shadow = mode in (RenderMode.LIT_SHADOW, RenderMode.DEBUG)
-    if needs_shadow:
-        sh_setup = triangle_setup(
-            vout.light_clip, scene.tri_idx, scene.tri_valid,
-            cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
-            depth_bias_constant=cfg.shadow_bias_constant,
-            depth_bias_slope=cfg.shadow_bias_slope)
-        shadow_map = _rasterize_depth(sh_setup, cfg)
-    else:
-        shadow_map = jnp.ones((cfg.shadow_dim, cfg.shadow_dim), jnp.float32)
+    if shadow_map is None:
+        if needs_shadow:
+            sh_setup = triangle_setup(
+                vout.light_clip, scene.tri_idx, scene.tri_valid,
+                cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
+                depth_bias_constant=cfg.shadow_bias_constant,
+                depth_bias_slope=cfg.shadow_bias_slope)
+            shadow_map = _rasterize_depth(sh_setup, cfg)
+        else:
+            shadow_map = jnp.ones((cfg.shadow_dim, cfg.shadow_dim),
+                                  jnp.float32)
 
     # --- main raster ---
     wireframe = mode == RenderMode.WIREFRAME
@@ -100,7 +130,7 @@ def render_frame(scene: Scene, state: FrameState,
     vis = _rasterize(setup, cfg, wireframe=wireframe)
     pix = interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings)
 
-    # --- shading ---
+    # --- shading (channel-planar: color is (3, H, W)) ---
     if mode == RenderMode.UNLIT:
         color = forward.shade_unlit(scene, pix)
     elif mode == RenderMode.LIT:
@@ -111,8 +141,9 @@ def render_frame(scene: Scene, state: FrameState,
         color = forward.shade_lit(scene, pix, state.lights, shadow_map,
                                   cfg.hdr)
 
-    clear = jnp.asarray(cfg.clear_color, jnp.float32)
-    image = jnp.where(pix.mask[..., None], color, clear)
+    clear = jnp.asarray(cfg.clear_color, jnp.float32)[:, None, None]
+    image = jnp.where(pix.mask[None], color, clear)
+    image = jnp.transpose(image, (1, 2, 0))  # → (H, W, 3) for output
 
     # --- debug overlays (src/lib.rs:1865-1914) ---
     if mode == RenderMode.DEBUG:

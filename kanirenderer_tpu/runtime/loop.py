@@ -30,7 +30,8 @@ import numpy as np
 from kanirenderer_tpu.core.types import (DebugTexture, FrameState, Lights,
                                          RenderConfig, RenderMode, Scene,
                                          default_camera, default_lights)
-from kanirenderer_tpu.passes.frame import render_frame, linearize_depth
+from kanirenderer_tpu.passes.frame import (render_frame, render_shadow_map,
+                                           linearize_depth)
 from kanirenderer_tpu.runtime import controllers
 from kanirenderer_tpu.runtime.display import make_sink, to_uint8
 from kanirenderer_tpu.runtime.frametime import FrameTimeGraph
@@ -113,6 +114,11 @@ def run_loop(scene: Scene, events: Iterable[Events],
     frames = 0
     last = time.perf_counter()
     picked: list = []
+    # Shadow-map cache: the map only depends on the sun and the geometry,
+    # not the camera — recompute only when those change (the reference
+    # re-renders it every frame; we memoize).
+    shadow_cache = None
+    shadow_key = None
 
     for ev in events:
         if ev.quit or (max_frames is not None and frames >= max_frames):
@@ -157,7 +163,19 @@ def run_loop(scene: Scene, events: Iterable[Events],
             object_model=scene.object_model,
             object_normal=scene.object_normal,
             frame_times_ms=jnp.asarray(graph.buffer))
-        out = render_frame(scene, state, app.config)
+        needs_shadow = app.config.mode in (RenderMode.LIT_SHADOW,
+                                           RenderMode.DEBUG)
+        shadow = None
+        if needs_shadow:
+            d = app.lights.directional
+            key = (app.config.shadow_dim,
+                   tuple(np.asarray(d.direction).tolist()),
+                   float(d.distance), float(d.shadow_scene_size))
+            if key != shadow_key or shadow_cache is None:
+                shadow_cache = render_shadow_map(scene, state, app.config)
+                shadow_key = key
+            shadow = shadow_cache
+        out = render_frame(scene, state, app.config, shadow)
         sink.present(to_uint8(out.image))
         frames += 1
 

@@ -1,7 +1,8 @@
 """Forward shading: dense per-pixel fragment math for the five render modes.
 
-Faithful reimplementation of the reference fragment shaders as (H, W, C)
-tensor ops:
+Faithful reimplementation of the reference fragment shaders as
+channel-planar tensor ops — colors and vectors are (3, H, W), scalars are
+(H, W) planes, so every operation is (8, 128)-tileable on the VPU:
 
 * lit+shadow LDR — reference src/shader.wgsl:163-262 (Reinhard tonemap)
 * lit+shadow HDR — reference src/shader_hdr.wgsl (identical lighting,
@@ -22,6 +23,7 @@ src/shader.wgsl:242).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from kanirenderer_tpu.core.color import aces_tonemap, reinhard_tonemap
@@ -31,7 +33,7 @@ from kanirenderer_tpu.ops.sampling import sample_atlas_bilinear, sample_shadow_p
 
 Array = jnp.ndarray
 
-# Varying slots (see ops/vertex.py layout)
+# Varying plane slices (see ops/vertex.py layout)
 TAN_POS = slice(0, 3)
 TAN_VIEW = slice(3, 6)
 TAN_LIGHT = slice(6, 9)
@@ -43,20 +45,39 @@ SHADOW_COORD = slice(21, 24)
 UV = slice(24, 26)
 
 
-def _norm(v: Array) -> Array:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+def _dot3(a: Array, b: Array) -> Array:
+    """(3, H, W)·(3, H, W) → (H, W)."""
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _norm3(v: Array) -> Array:
+    n2 = _dot3(v, v)
+    return v * jax.lax.rsqrt(jnp.maximum(n2, 1e-30))[None]
+
+
+def _splat(c, shape) -> Array:
+    """Constant vec3 → (3, H, W)."""
+    return jnp.broadcast_to(jnp.asarray(c, jnp.float32)[:, None, None],
+                            (3,) + shape)
 
 
 def sample_materials(scene: Scene, pix: PixelBuffer) -> tuple[Array, Array]:
-    """Per-pixel diffuse (linear RGB) and raw normal-map samples."""
-    uv = pix.varyings[..., UV]
+    """Per-pixel diffuse (linear RGB) and raw normal-map samples, planar."""
+    u = pix.varyings[24]
+    v = pix.varyings[25]
     mid = pix.mat_id
-    diffuse = sample_atlas_bilinear(
-        scene.atlas_diffuse, scene.mat_diffuse_origin[mid],
-        scene.mat_diffuse_size[mid], uv)
-    normal = sample_atlas_bilinear(
-        scene.atlas_normal, scene.mat_normal_origin[mid],
-        scene.mat_normal_size[mid], uv)
+    dox = jnp.take(scene.mat_diffuse_origin[:, 0], mid, axis=0)
+    doy = jnp.take(scene.mat_diffuse_origin[:, 1], mid, axis=0)
+    dw = jnp.take(scene.mat_diffuse_size[:, 0], mid, axis=0)
+    dh = jnp.take(scene.mat_diffuse_size[:, 1], mid, axis=0)
+    diffuse = sample_atlas_bilinear(scene.atlas_diffuse, dox, doy, dw, dh,
+                                    u, v)
+    nox = jnp.take(scene.mat_normal_origin[:, 0], mid, axis=0)
+    noy = jnp.take(scene.mat_normal_origin[:, 1], mid, axis=0)
+    nw = jnp.take(scene.mat_normal_size[:, 0], mid, axis=0)
+    nh = jnp.take(scene.mat_normal_size[:, 1], mid, axis=0)
+    normal = sample_atlas_bilinear(scene.atlas_normal, nox, noy, nw, nh,
+                                   u, v)
     return diffuse, normal
 
 
@@ -68,17 +89,15 @@ def shade_unlit(scene: Scene, pix: PixelBuffer) -> Array:
 
 def shade_wireframe(pix: PixelBuffer) -> Array:
     """Constant white (reference src/shader_wireframe.wgsl:140-144)."""
-    return jnp.ones(pix.mask.shape + (3,), jnp.float32)
+    return jnp.ones((3,) + pix.mask.shape, jnp.float32)
 
 
 def _blinn_phong(tangent_normal: Array, light_dir: Array, view_dir: Array,
                  light_color: Array) -> tuple[Array, Array]:
-    half_dir = _norm(view_dir + light_dir)
-    diffuse = jnp.maximum((tangent_normal * light_dir).sum(-1, keepdims=True),
-                          0.0) * light_color
-    spec = jnp.maximum((tangent_normal * half_dir).sum(-1, keepdims=True),
-                       0.0) ** 32.0 * light_color
-    return diffuse, spec
+    half_dir = _norm3(view_dir + light_dir)
+    diff = jnp.maximum(_dot3(tangent_normal, light_dir), 0.0)
+    spec = jnp.maximum(_dot3(tangent_normal, half_dir), 0.0) ** 32.0
+    return light_color * diff[None], light_color * spec[None]
 
 
 def _attenuation(dist: Array, rng: Array) -> Array:
@@ -98,62 +117,66 @@ def shade_lit(scene: Scene, pix: PixelBuffer, lights: Lights,
     """
     object_color, object_normal = sample_materials(scene, pix)
     vary = pix.varyings
+    shape = pix.mask.shape
 
     tangent_normal_raw = object_normal * 2.0 - 1.0
-    tangent_normal = _norm(tangent_normal_raw)
+    tangent_normal = _norm3(tangent_normal_raw)
 
-    tan_pos = vary[..., TAN_POS]
-    view_dir = _norm(vary[..., TAN_VIEW] - tan_pos)
+    tan_pos = vary[TAN_POS]
+    view_dir = _norm3(vary[TAN_VIEW] - tan_pos)
 
     # --- movable point light (uniform `light`) ---
-    world_pos = vary[..., WORLD_POS]
+    world_pos = vary[WORLD_POS]
     m = lights.movable
-    dist = jnp.linalg.norm(m.position - world_pos, axis=-1, keepdims=True)
-    light_dir = _norm(vary[..., TAN_LIGHT] - tan_pos)
-    diff, spec = _blinn_phong(tangent_normal, light_dir, view_dir, m.color)
-    movable_term = (diff + spec) * _attenuation(dist, m.range) * object_color
+    dvec = m.position[:, None, None] - world_pos
+    dist = jnp.sqrt(jnp.maximum(_dot3(dvec, dvec), 1e-30))
+    light_dir = _norm3(vary[TAN_LIGHT] - tan_pos)
+    mcol = m.color[:, None, None]
+    diff, spec = _blinn_phong(tangent_normal, light_dir, view_dir, mcol)
+    movable_term = (diff + spec) * _attenuation(dist, m.range)[None] \
+        * object_color
 
     # --- ambient (reference src/shader.wgsl:179-181) ---
-    ambient_term = (jnp.full(3, 20.0) * 0.0005) * object_color
+    ambient_term = (20.0 * 0.0005) * object_color
 
     # --- directional light ---
     d = lights.directional
-    dl_dir = _norm(-d.direction)
-    dl_diff, dl_spec_unscaled = _blinn_phong(tangent_normal, dl_dir,
-                                             view_dir, d.color)
-    dl_term = dl_diff * 10.0 + dl_spec_unscaled * 10.0 * 0.5
+    dl_dir3 = -d.direction / jnp.linalg.norm(d.direction)
+    dl_dir = jnp.broadcast_to(dl_dir3[:, None, None], (3,) + shape)
+    dcol = d.color[:, None, None]
+    dl_diff, dl_spec = _blinn_phong(tangent_normal, dl_dir, view_dir, dcol)
+    dl_term = dl_diff * 10.0 + dl_spec * (10.0 * 0.5)
     if shadow_map is not None:
-        sc = vary[..., SHADOW_COORD]
-        shadow = sample_shadow_pcf(shadow_map, sc[..., 0:2], sc[..., 2])
-        dl_term = dl_term * shadow[..., None]
+        shadow = sample_shadow_pcf(shadow_map, vary[21], vary[22], vary[23])
+        dl_term = dl_term * shadow[None]
     dl_term = dl_term * object_color
 
-    # --- point-light storage array (vectorized over P lights) ---
-    # TBN rows for per-fragment tangent transform of the loop lights.
-    t_row = vary[..., TBN_T]
-    b_row = vary[..., TBN_B]
-    n_row = vary[..., TBN_N]
+    # --- point-light storage array (loop over P lights; P is small) ---
+    t_row = vary[TBN_T]
+    b_row = vary[TBN_B]
+    n_row = vary[TBN_N]
     p = lights.points
     P = p.position.shape[0]
-    # (P, H, W, 1) distances
-    pdist = jnp.linalg.norm(
-        p.position[:, None, None, :] - world_pos[None], axis=-1,
-        keepdims=True)
-    # tangent-space light positions per pixel: rows · light_pos
-    tl = jnp.stack([
-        (t_row[None] * p.position[:, None, None, :]).sum(-1),
-        (b_row[None] * p.position[:, None, None, :]).sum(-1),
-        (n_row[None] * p.position[:, None, None, :]).sum(-1),
-    ], axis=-1)                                       # (P, H, W, 3)
-    pl_dir = _norm(tl - tan_pos[None])
-    # NOTE: the loop uses the unnormalized tangent normal
-    # (reference src/shader.wgsl:242).
-    pdiff, pspec = _blinn_phong(
-        jnp.broadcast_to(tangent_normal_raw[None], (P,) + tangent_normal.shape),
-        pl_dir, jnp.broadcast_to(view_dir[None], (P,) + view_dir.shape),
-        p.color[:, None, None, :])
-    patt = _attenuation(pdist, p.range[:, None, None, None])
-    points_term = ((pdiff + pspec) * patt).sum(axis=0) * object_color
+    points_term = jnp.zeros((3,) + shape, jnp.float32)
+    for k in range(P):
+        lp = p.position[k]
+        pdvec = lp[:, None, None] - world_pos
+        pdist = jnp.sqrt(jnp.maximum(_dot3(pdvec, pdvec), 1e-30))
+        # tangent-space light position: TBN rows · light_pos
+        tl = jnp.stack([
+            t_row[0] * lp[0] + t_row[1] * lp[1] + t_row[2] * lp[2],
+            b_row[0] * lp[0] + b_row[1] * lp[1] + b_row[2] * lp[2],
+            n_row[0] * lp[0] + n_row[1] * lp[1] + n_row[2] * lp[2],
+        ])
+        pl_dir = _norm3(tl - tan_pos)
+        pcol = p.color[k][:, None, None]
+        # NOTE: loop lights use the unnormalized tangent normal
+        # (reference src/shader.wgsl:242).
+        pdiff, pspec = _blinn_phong(tangent_normal_raw, pl_dir, view_dir,
+                                    pcol)
+        patt = _attenuation(pdist, p.range[k])
+        points_term = points_term + (pdiff + pspec) * patt[None]
+    points_term = points_term * object_color
 
     result = ambient_term + dl_term + movable_term + points_term
     return aces_tonemap(result) if hdr else reinhard_tonemap(result)

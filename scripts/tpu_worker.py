@@ -25,7 +25,8 @@ import jax  # noqa: E402
 print(f"jax ready in {time.time()-t0:.0f}s: {jax.devices()}", flush=True)
 
 NAMESPACE: dict = {"jax": jax}
-done = set()
+# survive re-exec: anything with a .done marker is already processed
+done = {f[:-5] + ".py" for f in os.listdir(JOBS) if f.endswith(".done")}
 while True:
     jobs = sorted(f for f in os.listdir(JOBS)
                   if f.endswith(".py") and f not in done)
@@ -45,8 +46,15 @@ while True:
                 exec(compile(src, path, "exec"), NAMESPACE)
         except BaseException:
             buf.write("\n" + traceback.format_exc())
+        text = buf.getvalue()
         with open(out_path, "w") as f:
-            f.write(buf.getvalue())
+            f.write(text)
         open(path[:-3] + ".done", "w").close()
         print(f"finished {j}", flush=True)
+        if "TPU backend error" in text or "JaxRuntimeError" in text:
+            # A failed execution poisons the device/tunnel state for the
+            # whole process — re-exec to reconnect cleanly.
+            print("backend error detected; re-exec for a clean device",
+                  flush=True)
+            os.execv(sys.executable, [sys.executable, __file__])
     time.sleep(1.0)

@@ -1,0 +1,90 @@
+"""Headline benchmark: sponza-scale scene, 1080p, lit+shadow fly-through.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Baseline: the driver-set north star of 60 FPS at 1080p lit+shadow on one
+v5e chip (BASELINE.md — the reference publishes no numbers of its own).
+
+The scene is a deterministic procedural stand-in matched to sponza.obj's
+workload (~262K triangles, 25 materials with diffuse+normal textures;
+res/sponza.obj itself is a stripped large blob in the reference snapshot).
+The camera flies through the courtyard; the shadow map is rendered once and
+cached while the sun is static (see passes/frame.render_shadow_map), which
+is the steady-state behavior of the interactive loop.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import kanirenderer_tpu as kani
+    from kanirenderer_tpu.models.procedural import sponza_standin_scene
+    from kanirenderer_tpu.passes.frame import render_frame
+    from kanirenderer_tpu.runtime.controllers import update_camera, CameraInputs
+
+    try:
+        on_tpu = any("tpu" in d.device_kind.lower() for d in jax.devices())
+    except Exception:
+        on_tpu = False
+
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+
+    scene = sponza_standin_scene()
+    lights = kani.default_lights()
+    cam = kani.CameraState(
+        position=jnp.array([-1000.0, 180.0, 0.0], jnp.float32),
+        yaw=jnp.float32(0.0), pitch=jnp.float32(np.deg2rad(-5.0)))
+    cfg = kani.RenderConfig(
+        width=1920, height=1080, mode=kani.RenderMode.LIT_SHADOW,
+        raster_backend="pallas" if on_tpu else "xla",
+        tile_h=32, max_tiles_per_chunk=128, max_chunks_per_tile=512,
+        max_global_chunks=256)
+
+    state = kani.frame_state(scene, cam, lights)
+
+    # warm up / compile (shadow map is re-rendered every frame, exactly
+    # like the reference render loop, src/lib.rs:1721-1751)
+    out = render_frame(scene, state, cfg)
+    out.image.block_until_ready()
+
+    inputs = CameraInputs(forward=1.0, rotate_dx=6.0)
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        cam = update_camera(cam, inputs, 1.0 / 60.0)
+        state = kani.frame_state(scene, cam, lights)
+        out = render_frame(scene, state, cfg)
+        # block per frame, like a present would — also bounds the live set
+        # of per-frame transients in HBM
+        out.image.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = frames / dt
+    tris = int(np.asarray(scene.tri_valid).sum())
+    result = {
+        "metric": "fps_1080p_sponza_standin_lit_shadow_v5e"
+                  if on_tpu else "fps_1080p_sponza_standin_lit_shadow_cpu",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 4),
+        "detail": {
+            "frames": frames,
+            "triangles": tris,
+            "resolution": "1920x1080",
+            "mode": "LIT_SHADOW (shadow re-rendered per frame)",
+            "backend": cfg.raster_backend,
+            "device": str(jax.devices()[0]),
+            "mtris_per_sec": round(tris * fps / 1e6, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

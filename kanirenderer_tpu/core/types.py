@@ -74,13 +74,16 @@ class Scene(NamedTuple):
     object_model: Array    # (O, 4, 4) f32 model matrix per object
     object_normal: Array   # (O, 3, 3) f32 normal matrix per object
 
-    # --- materials / texture atlases ---
-    mat_diffuse_origin: Array  # (M, 2) i32 (x, y) texel origin in diffuse atlas
-    mat_diffuse_size: Array    # (M, 2) i32 (w, h) texels
-    mat_normal_origin: Array   # (M, 2) i32
-    mat_normal_size: Array     # (M, 2) i32
-    atlas_diffuse: Array       # (3, Ha, Wa) f32 planar, linear (sRGB decoded)
-    atlas_normal: Array        # (3, Hb, Wb) f32 planar, raw [0, 1]
+    # --- materials / textures ---
+    # One fused texel-row table holds BOTH textures' bilinear footprints:
+    # row r = the 2×2 Repeat-wrapped neighborhood of texel (x, y) of a
+    # material, channels [d00 d10 d01 d11 n00 n10 n01 n11] × RGB = 24 f32.
+    # A single per-pixel row gather yields everything bilinear filtering
+    # needs (TPU gathers cost per ROW, independent of width).
+    tex_rows: Array       # (R, 24) f32; diffuse linear (sRGB pre-decoded)
+    mat_row_base: Array   # (M,) i32 first row of each material's texture
+    mat_tex_size: Array   # (M, 2) i32 (w, h) texels (normal maps are
+    #                       resampled to the diffuse resolution at load)
 
     @property
     def num_vertices(self) -> int:
@@ -184,6 +187,11 @@ class RenderConfig:
     max_pairs: int = 32768          # pair-stream capacity (v2 rasterizer)
     shadow_chunks_per_tile: int = 640  # per-tile cap for the shadow raster
     #   (ortho shadow projections concentrate geometry in few tiles)
+    # Reuse the shadow map across frames while sun+geometry are static.
+    # Default off: the tunneled v5e runtime misbehaves when a cached map
+    # is re-fed across executables (see passes/frame.render_shadow_map);
+    # the reference re-renders every frame anyway (src/lib.rs:1721).
+    cache_shadow_map: bool = False
     wire_thresh_px: float = 0.7     # wireframe edge half-width in pixels
     # Pallas raster kernel: triangles evaluated per inner step
     raster_tri_batch: int = 8

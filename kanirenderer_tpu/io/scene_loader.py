@@ -26,8 +26,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from kanirenderer_tpu.core.types import CHUNK_SIZE, Scene
-from kanirenderer_tpu.io import atlas as atlas_mod
 from kanirenderer_tpu.io import image as image_mod
+from kanirenderer_tpu.io.image import default_normal_image
 from kanirenderer_tpu.io import obj as obj_mod
 from kanirenderer_tpu.core.color import srgb_to_linear  # noqa: F401 (np variant below)
 
@@ -210,19 +210,44 @@ class SceneBuilder:
             tri_mat = np.concatenate([tri_mat, np.zeros(pad, np.int32)])
             tri_valid[ntris:] = False
 
-        # Atlases (RGB only: the shaders force alpha to 1.0,
-        # reference src/shader.wgsl:261).
-        diff_atlas, diff_org, diff_size = atlas_mod.pack_atlas(
-            [t.diffuse[..., :3] for t in self.textures])
-        norm_atlas, norm_org, norm_size = atlas_mod.pack_atlas(
-            [t.normal[..., :3] for t in self.textures])
-        # Diffuse samples decode sRGB→linear (Rgba8UnormSrgb view,
-        # reference src/texture.rs:128); normals sample raw.
-        diff_atlas = _srgb_to_linear_np(diff_atlas)
-        if len(self.textures) == 0:
-            diff_org = diff_size = norm_org = norm_size = \
-                np.zeros((1, 2), np.int32)
-            diff_size = norm_size = np.ones((1, 2), np.int32)
+        # Fused texel-row table (see core/types.Scene): per material, the
+        # normal map is resampled to the diffuse resolution, both are
+        # converted to f32 (diffuse sRGB→linear: the Rgba8UnormSrgb view,
+        # reference src/texture.rs:128; normals raw), and each texel's
+        # Repeat-wrapped 2×2 neighborhood is packed into one 24-float row.
+        tex_rows_list = []
+        row_base = []
+        tex_size = []
+        base = 0
+        textures = self.textures or [MaterialTextures(
+            "default", default_normal_image(), default_normal_image())]
+        for t in textures:
+            d = _srgb_to_linear_np(t.diffuse[..., :3].astype(np.float32)
+                                   / 255.0)
+            n = t.normal[..., :3].astype(np.float32) / 255.0
+            h, w = d.shape[:2]
+            if n.shape[:2] != (h, w):
+                yi = (np.arange(h) * n.shape[0] // h)
+                xi = (np.arange(w) * n.shape[1] // w)
+                n = n[yi][:, xi]
+            six = np.concatenate([d, n], axis=-1)           # (h, w, 6)
+            rows = np.concatenate([
+                six,
+                np.roll(six, -1, axis=1),                   # (x+1, y)
+                np.roll(six, -1, axis=0),                   # (x, y+1)
+                np.roll(np.roll(six, -1, axis=0), -1, axis=1),
+            ], axis=-1)                                     # (h, w, 24)
+            # reorder to [d00 d10 d01 d11 | n00 n10 n01 n11] x RGB
+            order = [0, 1, 2, 6, 7, 8, 12, 13, 14, 18, 19, 20,
+                     3, 4, 5, 9, 10, 11, 15, 16, 17, 21, 22, 23]
+            rows = rows[..., order]
+            tex_rows_list.append(rows.reshape(h * w, 24))
+            row_base.append(base)
+            tex_size.append((w, h))
+            base += h * w
+        tex_rows = np.concatenate(tex_rows_list).astype(np.float32)
+        mat_row_base = np.asarray(row_base, np.int32)
+        mat_tex_size = np.asarray(tex_size, np.int32)
 
         # Object transforms.
         n_obj = max(self._num_objects, 1)
@@ -245,13 +270,9 @@ class SceneBuilder:
             tri_valid=jnp.asarray(tri_valid),
             object_model=jnp.asarray(models),
             object_normal=jnp.asarray(normals_m),
-            mat_diffuse_origin=jnp.asarray(diff_org),
-            mat_diffuse_size=jnp.asarray(diff_size),
-            mat_normal_origin=jnp.asarray(norm_org),
-            mat_normal_size=jnp.asarray(norm_size),
-            # channel-planar (3, H, W) for TPU-tileable sampling math
-            atlas_diffuse=jnp.asarray(np.moveaxis(diff_atlas, -1, 0)),
-            atlas_normal=jnp.asarray(np.moveaxis(norm_atlas, -1, 0)),
+            tex_rows=jnp.asarray(tex_rows),
+            mat_row_base=jnp.asarray(mat_row_base),
+            mat_tex_size=jnp.asarray(mat_tex_size),
         )
 
 

@@ -37,9 +37,9 @@ class VisBuffer(NamedTuple):
     bary: Array  # (H, W, 2) f32 perspective-correct (λ1, λ2)
 
 
-def _pixel_grid(width: int, height: int) -> tuple[Array, Array]:
+def _pixel_grid(width: int, height: int, y0=0.0) -> tuple[Array, Array]:
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
-    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5 + y0
     return xs[None, :], ys[:, None]  # broadcastable (1, W), (H, 1)
 
 
@@ -47,7 +47,7 @@ def _pixel_grid(width: int, height: int) -> tuple[Array, Array]:
                                    "wire_thresh", "batch"))
 def rasterize_xla(setup: Array, width: int, height: int,
                   wireframe: bool = False, wire_thresh: float = 0.7,
-                  batch: int = 16) -> VisBuffer:
+                  batch: int = 16, y_offset=0.0) -> VisBuffer:
     """Rasterize all triangles (setup rows, see ops/vertex.py) brute-force.
 
     ``wireframe``: restrict coverage to pixels within ``wire_thresh`` pixels
@@ -62,7 +62,7 @@ def rasterize_xla(setup: Array, width: int, height: int,
             [setup, jnp.zeros((pad, setup.shape[1]), setup.dtype)])
     chunks = setup.reshape(-1, batch, setup.shape[1])
 
-    X, Y = _pixel_grid(width, height)
+    X, Y = _pixel_grid(width, height, y_offset)
 
     def body(carry, args):
         zbuf, tri, b1, b2 = carry
@@ -115,10 +115,14 @@ def rasterize_xla(setup: Array, width: int, height: int,
         b2 = jnp.where(win, lb2, b2)
         return (zbuf, tri, b1, b2), None
 
-    init = (jnp.ones((height, width), jnp.float32),
-            jnp.full((height, width), -1, jnp.int32),
-            jnp.zeros((height, width), jnp.float32),
-            jnp.zeros((height, width), jnp.float32))
+    # fold y_offset into the init so that under shard_map the carry picks
+    # up the same varying-axis type as the loop body (y_offset is the only
+    # shard-varying input)
+    y0f = jnp.asarray(y_offset, jnp.float32) * 0.0
+    init = (jnp.ones((height, width), jnp.float32) + y0f,
+            jnp.full((height, width), -1, jnp.int32) + y0f.astype(jnp.int32),
+            jnp.zeros((height, width), jnp.float32) + y0f,
+            jnp.zeros((height, width), jnp.float32) + y0f)
     bases = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
     (zbuf, tri, b1, b2), _ = jax.lax.scan(body, init, (chunks, bases))
     return VisBuffer(tri=tri, z=zbuf, bary=jnp.stack([b1, b2], -1))

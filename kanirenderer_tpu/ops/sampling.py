@@ -1,18 +1,18 @@
-"""Gather-based texture sampling (channel-planar).
+"""Gather-based texture sampling — one row gather per sampled surface.
 
-TPU replacement for wgpu samplers: all textures live in packed atlases and
-sampling is vectorized gathers + arithmetic.  Layout note: everything here
-is channel-planar — images are (C, H, W) and per-pixel quantities are
-(H, W) planes — so every arithmetic op runs on perfectly (8, 128)-tiled
-arrays instead of 3-lane channel-last rows.
+TPU gathers cost ~constant per ROW independent of row width (measured on
+v5e), so every sampler here is built around a single wide row gather:
 
-* ``sample_atlas_bilinear`` — Repeat addressing + bilinear filtering, the
+* ``sample_materials_fused`` — diffuse + normal-map bilinear filtering with
+  Repeat addressing from the fused texel-row table (core/types.Scene
+  .tex_rows): each row already holds both textures' 2×2 wrapped
+  neighborhoods, so filtering is ONE gather + planar lerps.  Matches the
   material sampler state (reference src/texture.rs:162-173).
-* ``sample_shadow_pcf``     — 3×3 PCF kernel of hardware-filtered
-  depth-compare taps: each tap compares 4 texels (LessEqual) and bilinearly
-  blends the binary results, matching ``sampler_comparison`` + Linear
-  filtering (reference src/lib.rs:760-767, src/shader.wgsl:140-159).
-  Clamp-to-edge addressing (wgpu sampler default).
+* ``build_shadow_rows`` / ``sample_shadow_pcf_fused`` — the 3×3 PCF kernel
+  of comparison taps (reference src/lib.rs:760-767, src/shader.wgsl:140-159)
+  via one row gather of the 4×4 texel footprint, then 16 compares + 9
+  bilinear blends as dense planar math.  Clamp-to-edge addressing (wgpu
+  sampler default).
 """
 
 from __future__ import annotations
@@ -22,51 +22,52 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def sample_atlas_bilinear(atlas: Array, ox: Array, oy: Array, tw: Array,
-                          th: Array, u: Array, v: Array) -> Array:
-    """Bilinear sample with per-texture Repeat wrap inside an atlas.
+def sample_materials_fused(tex_rows: Array, mat_row_base: Array,
+                           mat_tex_size: Array, mid: Array, u: Array,
+                           v: Array) -> tuple[Array, Array]:
+    """Returns (diffuse (3,H,W) linear, normal (3,H,W) raw)."""
+    base = jnp.take(mat_row_base, mid, axis=0)
+    tw = jnp.take(mat_tex_size[:, 0], mid, axis=0)
+    th = jnp.take(mat_tex_size[:, 1], mid, axis=0)
 
-    atlas: (C, Ha, Wa) planar; ox/oy/tw/th: (H, W) i32 per-pixel material
-    rects; u/v: (H, W) uv.  Returns (C, H, W).
-    """
-    C, Ha, Wa = atlas.shape
-    flat = atlas.reshape(C, Ha * Wa)
-
-    twf = tw.astype(jnp.float32)
-    thf = th.astype(jnp.float32)
-    tx = u * twf - 0.5
-    ty = v * thf - 0.5
+    tx = u * tw.astype(jnp.float32) - 0.5
+    ty = v * th.astype(jnp.float32) - 0.5
     x0 = jnp.floor(tx)
     y0 = jnp.floor(ty)
     fx = tx - x0
     fy = ty - y0
-
     x0i = jnp.mod(x0.astype(jnp.int32), tw)
-    x1i = jnp.mod(x0.astype(jnp.int32) + 1, tw)
     y0i = jnp.mod(y0.astype(jnp.int32), th)
-    y1i = jnp.mod(y0.astype(jnp.int32) + 1, th)
 
-    i00 = (oy + y0i) * Wa + ox + x0i
-    i10 = (oy + y0i) * Wa + ox + x1i
-    i01 = (oy + y1i) * Wa + ox + x0i
-    i11 = (oy + y1i) * Wa + ox + x1i
+    rec = jnp.take(tex_rows, base + y0i * tw + x0i, axis=0)  # (H, W, 24)
+    r = jnp.transpose(rec, (2, 0, 1))                        # (24, H, W)
 
-    out = []
-    for c in range(C):
-        c00 = jnp.take(flat[c], i00, axis=0)
-        c10 = jnp.take(flat[c], i10, axis=0)
-        c01 = jnp.take(flat[c], i01, axis=0)
-        c11 = jnp.take(flat[c], i11, axis=0)
-        top = c00 + (c10 - c00) * fx
-        bot = c01 + (c11 - c01) * fx
-        out.append(top + (bot - top) * fy)
-    return jnp.stack(out)
+    def bilerp(o):
+        c00 = r[o:o + 3]
+        c10 = r[o + 3:o + 6]
+        c01 = r[o + 6:o + 9]
+        c11 = r[o + 9:o + 12]
+        top = c00 + (c10 - c00) * fx[None]
+        bot = c01 + (c11 - c01) * fx[None]
+        return top + (bot - top) * fy[None]
+
+    return bilerp(0), bilerp(12)
 
 
-def _depth_compare_tap(flat: Array, D: int, u: Array, v: Array,
-                       depth: Array) -> Array:
-    """One hardware comparison-sampler tap: bilinear blend of 4 LessEqual
-    results, clamp-to-edge addressing.  flat: (D*D,) shadow map."""
+def build_shadow_rows(shadow_map: Array) -> Array:
+    """(D, D) shadow map → (D², 16) rows of 4×4 clamp-padded neighborhoods
+    anchored at (x−1, y−1).  Rebuilt per shadow render — a cheap dense op."""
+    D = shadow_map.shape[0]
+    padded = jnp.pad(shadow_map, ((1, 2), (1, 2)), mode="edge")
+    shifts = [padded[dy:dy + D, dx:dx + D]
+              for dy in range(4) for dx in range(4)]
+    return jnp.stack(shifts, axis=-1).reshape(D * D, 16)
+
+
+def sample_shadow_pcf_fused(shadow_rows: Array, dim: int, u: Array, v: Array,
+                            depth: Array) -> Array:
+    """3×3 PCF average of hardware-style comparison taps — one row gather."""
+    D = dim
     tx = u * D - 0.5
     ty = v * D - 0.5
     x0 = jnp.floor(tx)
@@ -74,32 +75,22 @@ def _depth_compare_tap(flat: Array, D: int, u: Array, v: Array,
     fx = tx - x0
     fy = ty - y0
     x0i = jnp.clip(x0.astype(jnp.int32), 0, D - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, D - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, D - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, D - 1)
 
-    def cmp(iy, ix):
-        return (depth <= jnp.take(flat, iy * D + ix, axis=0)) \
-            .astype(jnp.float32)
+    rec = jnp.take(shadow_rows, y0i * D + x0i, axis=0)       # (H, W, 16)
+    r = jnp.transpose(rec, (2, 0, 1))                        # (16, H, W)
 
-    c00 = cmp(y0i, x0i)
-    c10 = cmp(y0i, x1i)
-    c01 = cmp(y1i, x0i)
-    c11 = cmp(y1i, x1i)
-    top = c00 + (c10 - c00) * fx
-    bot = c01 + (c11 - c01) * fx
-    return top + (bot - top) * fy
+    # comparison planes for the whole 4×4 footprint
+    c = [(depth <= r[k]).astype(jnp.float32) for k in range(16)]
 
-
-def sample_shadow_pcf(shadow_map: Array, u: Array, v: Array,
-                      depth: Array) -> Array:
-    """3×3 PCF average of comparison taps (reference src/shader.wgsl:140-159)."""
-    D = shadow_map.shape[0]
-    flat = shadow_map.reshape(-1)
-    texel = 1.0 / D
     acc = 0.0
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            acc = acc + _depth_compare_tap(flat, D, u + dx * texel,
-                                           v + dy * texel, depth)
+    for oy in range(3):          # tap offsets -1..1 → footprint rows 0..3
+        for ox in range(3):
+            c00 = c[oy * 4 + ox]
+            c10 = c[oy * 4 + ox + 1]
+            c01 = c[(oy + 1) * 4 + ox]
+            c11 = c[(oy + 1) * 4 + ox + 1]
+            top = c00 + (c10 - c00) * fx
+            bot = c01 + (c11 - c01) * fx
+            acc = acc + top + (bot - top) * fy
     return acc / 9.0

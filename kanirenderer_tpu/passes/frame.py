@@ -28,6 +28,7 @@ from kanirenderer_tpu.core.types import (DebugTexture, FrameState,
                                          RenderConfig, RenderMode, Scene)
 from kanirenderer_tpu.ops import raster_xla
 from kanirenderer_tpu.ops.interpolate import interpolate
+from kanirenderer_tpu.ops.sampling import build_shadow_rows
 from kanirenderer_tpu.ops.vertex import run_vertex_stage, triangle_setup
 from kanirenderer_tpu.passes import overlay
 from kanirenderer_tpu.shade import forward
@@ -110,6 +111,7 @@ def render_frame(scene: Scene, state: FrameState,
     # --- shadow pass (modes LitWithShadow/Debug, src/lib.rs:1721-1751) ---
     # A host-cached map may be supplied (see render_shadow_map).
     needs_shadow = mode in (RenderMode.LIT_SHADOW, RenderMode.DEBUG)
+    external_shadow = shadow_map is not None
     if shadow_map is None:
         if needs_shadow:
             sh_setup = triangle_setup(
@@ -138,8 +140,9 @@ def render_frame(scene: Scene, state: FrameState,
     elif mode == RenderMode.WIREFRAME:
         color = forward.shade_wireframe(pix)
     else:  # LIT_SHADOW or DEBUG
-        color = forward.shade_lit(scene, pix, state.lights, shadow_map,
-                                  cfg.hdr)
+        shadow_rows = build_shadow_rows(shadow_map)
+        color = forward.shade_lit(scene, pix, state.lights, shadow_rows,
+                                  cfg.hdr, cfg.shadow_dim)
 
     clear = jnp.asarray(cfg.clear_color, jnp.float32)[:, None, None]
     image = jnp.where(pix.mask[None], color, clear)
@@ -160,7 +163,15 @@ def render_frame(scene: Scene, state: FrameState,
         image = jnp.clip(image, 0.0, 1.0)
     else:
         image = linear_to_srgb(image)
-    return FrameOutputs(image=image, depth=vis.z, shadow=shadow_map)
+    if external_shadow:
+        # Never pass an input buffer through to an output: input-output
+        # aliased executables corrupt runtime state on re-execution with
+        # changed inputs (observed on the tunneled v5e backend).  The
+        # caller already holds the map it passed in.
+        shadow_out = jnp.zeros((1, 1), jnp.float32)
+    else:
+        shadow_out = shadow_map
+    return FrameOutputs(image=image, depth=vis.z, shadow=shadow_out)
 
 
 def linearize_depth(depth: Array, znear: float, zfar: float) -> Array:

@@ -166,7 +166,7 @@ def run_loop(scene: Scene, events: Iterable[Events],
         needs_shadow = app.config.mode in (RenderMode.LIT_SHADOW,
                                            RenderMode.DEBUG)
         shadow = None
-        if needs_shadow:
+        if needs_shadow and app.config.cache_shadow_map:
             d = app.lights.directional
             key = (app.config.shadow_dim,
                    tuple(np.asarray(d.direction).tolist()),

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from kanirenderer_tpu.core.color import aces_tonemap, reinhard_tonemap
 from kanirenderer_tpu.core.types import Lights, Scene
 from kanirenderer_tpu.ops.interpolate import PixelBuffer
-from kanirenderer_tpu.ops.sampling import sample_atlas_bilinear, sample_shadow_pcf
+from kanirenderer_tpu.ops.sampling import (sample_materials_fused,
+                                           sample_shadow_pcf_fused)
 
 Array = jnp.ndarray
 
@@ -62,23 +63,11 @@ def _splat(c, shape) -> Array:
 
 
 def sample_materials(scene: Scene, pix: PixelBuffer) -> tuple[Array, Array]:
-    """Per-pixel diffuse (linear RGB) and raw normal-map samples, planar."""
-    u = pix.varyings[24]
-    v = pix.varyings[25]
-    mid = pix.mat_id
-    dox = jnp.take(scene.mat_diffuse_origin[:, 0], mid, axis=0)
-    doy = jnp.take(scene.mat_diffuse_origin[:, 1], mid, axis=0)
-    dw = jnp.take(scene.mat_diffuse_size[:, 0], mid, axis=0)
-    dh = jnp.take(scene.mat_diffuse_size[:, 1], mid, axis=0)
-    diffuse = sample_atlas_bilinear(scene.atlas_diffuse, dox, doy, dw, dh,
-                                    u, v)
-    nox = jnp.take(scene.mat_normal_origin[:, 0], mid, axis=0)
-    noy = jnp.take(scene.mat_normal_origin[:, 1], mid, axis=0)
-    nw = jnp.take(scene.mat_normal_size[:, 0], mid, axis=0)
-    nh = jnp.take(scene.mat_normal_size[:, 1], mid, axis=0)
-    normal = sample_atlas_bilinear(scene.atlas_normal, nox, noy, nw, nh,
-                                   u, v)
-    return diffuse, normal
+    """Per-pixel diffuse (linear RGB) and raw normal-map samples, planar —
+    one fused row gather for both textures (see ops/sampling.py)."""
+    return sample_materials_fused(scene.tex_rows, scene.mat_row_base,
+                                  scene.mat_tex_size, pix.mat_id,
+                                  pix.varyings[24], pix.varyings[25])
 
 
 def shade_unlit(scene: Scene, pix: PixelBuffer) -> Array:
@@ -108,12 +97,14 @@ def _attenuation(dist: Array, rng: Array) -> Array:
 
 
 def shade_lit(scene: Scene, pix: PixelBuffer, lights: Lights,
-              shadow_map: Array | None, hdr: bool) -> Array:
+              shadow_rows: Array | None, hdr: bool,
+              shadow_dim: int = 0) -> Array:
     """Blinn-Phong forward shading, optionally shadow-modulated.
 
-    shadow_map None → the Lit pipeline (reference src/lit_shader.wgsl);
+    shadow_rows None → the Lit pipeline (reference src/lit_shader.wgsl);
     otherwise LitWithShadow (src/shader.wgsl with Reinhard, or
-    src/shader_hdr.wgsl with ACES when hdr=True).
+    src/shader_hdr.wgsl with ACES when hdr=True); shadow_rows is the
+    (D², 16) PCF footprint table from ops/sampling.build_shadow_rows.
     """
     object_color, object_normal = sample_materials(scene, pix)
     vary = pix.varyings
@@ -146,8 +137,9 @@ def shade_lit(scene: Scene, pix: PixelBuffer, lights: Lights,
     dcol = d.color[:, None, None]
     dl_diff, dl_spec = _blinn_phong(tangent_normal, dl_dir, view_dir, dcol)
     dl_term = dl_diff * 10.0 + dl_spec * (10.0 * 0.5)
-    if shadow_map is not None:
-        shadow = sample_shadow_pcf(shadow_map, vary[21], vary[22], vary[23])
+    if shadow_rows is not None:
+        shadow = sample_shadow_pcf_fused(shadow_rows, shadow_dim,
+                                         vary[21], vary[22], vary[23])
         dl_term = dl_term * shadow[None]
     dl_term = dl_term * object_color
 

@@ -5,18 +5,17 @@ vertex varyings per pixel — the TPU equivalent of the hardware
 interpolators feeding ``fs_main``.
 
 Gather strategy (measured on v5e): XLA's TPU gather costs ~constant per
-ROW regardless of row width (32→128 f32 rows gather at the same rate), so
-the per-pixel work is exactly ONE wide row gather:
+ROW regardless of row width, and per-pixel gathers dominate the frame —
+so per-pixel work is exactly ONE wide row gather.  The per-triangle
+record packs everything pixel shading needs that is constant per triangle:
 
- 1. per-triangle shading records are packed once per frame: the three
-    corners' 26 used varying channels side by side + the material id —
-    a (T, 3·26+2) matrix built with cheap per-TRIANGLE row gathers
-    (T rows ≈ 12% of the pixel count);
- 2. each pixel gathers its winning triangle's record row (the one
-    expensive gather) and blends corners with the perspective-correct
-    barycentrics in channel-last layout (96-lane rows, well tiled);
- 3. one (H, W, C) → (C, H, W) transpose hands the planar stack to
-    shade/.
+  [v0 varyings (26) | v1 (26) | v2 (26) | mat_id | tex_w | tex_h |
+   tex_base_hi | tex_base_lo]
+
+including the material's texture parameters (so the samplers need no
+additional per-pixel parameter gathers; the row base is split into two
+f32-exact halves).  Records are built with cheap per-TRIANGLE row gathers
+(T rows ≈ 12% of the pixel count).
 """
 
 from __future__ import annotations
@@ -35,33 +34,51 @@ USED = 26  # varying channels 26..NV are padding (see ops/vertex.py layout)
 class PixelBuffer(NamedTuple):
     varyings: Array  # (USED, H, W) interpolated vertex outputs, planar
     mat_id: Array    # (H, W) i32
+    tex_w: Array     # (H, W) i32  material texture width
+    tex_h: Array     # (H, W) i32
+    tex_base: Array  # (H, W) i32  first row of the material texture
     mask: Array      # (H, W) bool — True where geometry covers the pixel
     z: Array         # (H, W) f32 depth
 
 
-def build_tri_records(tri_idx: Array, tri_mat: Array,
-                      varyings: Array) -> Array:
-    """(T, 3·USED+1) per-triangle shading records (corner varyings + mat)."""
+def build_tri_records(tri_idx: Array, tri_mat: Array, varyings: Array,
+                      mat_row_base: Array, mat_tex_size: Array) -> Array:
+    """(T, 3·USED+5) per-triangle shading records."""
     v = varyings[:, :USED]
     r0 = v[tri_idx[:, 0]]
     r1 = v[tri_idx[:, 1]]
     r2 = v[tri_idx[:, 2]]
-    return jnp.concatenate(
-        [r0, r1, r2, tri_mat[:, None].astype(jnp.float32)], axis=1)
+    tw = jnp.take(mat_tex_size[:, 0], tri_mat, axis=0)
+    th = jnp.take(mat_tex_size[:, 1], tri_mat, axis=0)
+    base = jnp.take(mat_row_base, tri_mat, axis=0)
+    base_hi = base // 65536
+    base_lo = base - base_hi * 65536
+    extra = jnp.stack([tri_mat, tw, th, base_hi, base_lo],
+                      axis=1).astype(jnp.float32)
+    return jnp.concatenate([r0, r1, r2, extra], axis=1)
 
 
 def interpolate(vis: VisBuffer, tri_idx: Array, tri_mat: Array,
-                varyings: Array) -> PixelBuffer:
-    records = build_tri_records(tri_idx, tri_mat, varyings)
+                varyings: Array, mat_row_base: Array,
+                mat_tex_size: Array) -> PixelBuffer:
+    records = build_tri_records(tri_idx, tri_mat, varyings, mat_row_base,
+                                mat_tex_size)
     tid = jnp.maximum(vis.tri, 0)
-    rec = jnp.take(records, tid, axis=0)        # (H, W, 3·USED+1)
-    l1 = vis.bary[..., 0:1]
-    l2 = vis.bary[..., 1:2]
-    v0 = rec[..., 0:USED]
-    v1 = rec[..., USED:2 * USED]
-    v2 = rec[..., 2 * USED:3 * USED]
-    out = v0 + (v1 - v0) * l1 + (v2 - v0) * l2  # (H, W, USED)
-    planar = jnp.transpose(out, (2, 0, 1))
-    mat_id = rec[..., 3 * USED].astype(jnp.int32)
-    return PixelBuffer(varyings=planar, mat_id=mat_id,
+    rec = jnp.take(records, tid, axis=0)        # (H, W, 3·USED+5)
+    l1 = vis.bary[..., 0]
+    l2 = vis.bary[..., 1]
+    planes = []
+    for c in range(USED):
+        v0 = rec[..., c]
+        v1 = rec[..., USED + c]
+        v2 = rec[..., 2 * USED + c]
+        planes.append(v0 + (v1 - v0) * l1 + (v2 - v0) * l2)
+    planar = jnp.stack(planes)                  # (USED, H, W)
+    k = 3 * USED
+    base = (rec[..., k + 3] * 65536.0 + rec[..., k + 4]).astype(jnp.int32)
+    return PixelBuffer(varyings=planar,
+                       mat_id=rec[..., k].astype(jnp.int32),
+                       tex_w=rec[..., k + 1].astype(jnp.int32),
+                       tex_h=rec[..., k + 2].astype(jnp.int32),
+                       tex_base=base,
                        mask=vis.tri >= 0, z=vis.z)

@@ -22,14 +22,13 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def sample_materials_fused(tex_rows: Array, mat_row_base: Array,
-                           mat_tex_size: Array, mid: Array, u: Array,
+def sample_materials_fused(tex_rows: Array, base: Array, tw: Array,
+                           th: Array, u: Array,
                            v: Array) -> tuple[Array, Array]:
-    """Returns (diffuse (3,H,W) linear, normal (3,H,W) raw)."""
-    base = jnp.take(mat_row_base, mid, axis=0)
-    tw = jnp.take(mat_tex_size[:, 0], mid, axis=0)
-    th = jnp.take(mat_tex_size[:, 1], mid, axis=0)
+    """Returns (diffuse (3,H,W) linear, normal (3,H,W) raw).
 
+    base/tw/th are per-pixel (H, W) i32 planes taken from the triangle
+    records — no per-pixel parameter gathers happen here."""
     tx = u * tw.astype(jnp.float32) - 0.5
     ty = v * th.astype(jnp.float32) - 0.5
     x0 = jnp.floor(tx)

@@ -103,7 +103,8 @@ def render_frame_sharded(scene: Scene, state: FrameState,
                                        wireframe=wire,
                                        wire_thresh=cfg.wire_thresh_px,
                                        y_offset=y0)
-        pix = interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings)
+        pix = interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings,
+                          scene.mat_row_base, scene.mat_tex_size)
         if cfg.mode == RenderMode.UNLIT:
             color = forward.shade_unlit(scene, pix)
         elif cfg.mode == RenderMode.WIREFRAME:

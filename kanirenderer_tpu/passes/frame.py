@@ -130,7 +130,8 @@ def render_frame(scene: Scene, state: FrameState,
                            cfg.width, cfg.height,
                            cull_backfaces=not wireframe)
     vis = _rasterize(setup, cfg, wireframe=wireframe)
-    pix = interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings)
+    pix = interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings,
+                      scene.mat_row_base, scene.mat_tex_size)
 
     # --- shading (channel-planar: color is (3, H, W)) ---
     if mode == RenderMode.UNLIT:

@@ -65,8 +65,8 @@ def _splat(c, shape) -> Array:
 def sample_materials(scene: Scene, pix: PixelBuffer) -> tuple[Array, Array]:
     """Per-pixel diffuse (linear RGB) and raw normal-map samples, planar —
     one fused row gather for both textures (see ops/sampling.py)."""
-    return sample_materials_fused(scene.tex_rows, scene.mat_row_base,
-                                  scene.mat_tex_size, pix.mat_id,
+    return sample_materials_fused(scene.tex_rows, pix.tex_base, pix.tex_w,
+                                  pix.tex_h,
                                   pix.varyings[24], pix.varyings[25])
 
 

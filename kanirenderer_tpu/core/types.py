@@ -192,6 +192,10 @@ class RenderConfig:
     # is re-fed across executables (see passes/frame.render_shadow_map);
     # the reference re-renders every frame anyway (src/lib.rs:1721).
     cache_shadow_map: bool = False
+    # Deferred pipeline (the reference stubbed it, src/lib.rs:730-736):
+    # G-buffer write + world-space deferred lighting instead of the
+    # forward tangent-space path.  Applies to LIT/LIT_SHADOW/DEBUG modes.
+    deferred: bool = False
     wire_thresh_px: float = 0.7     # wireframe edge half-width in pixels
     # Pallas raster kernel: triangles evaluated per inner step
     raster_tri_batch: int = 8

@@ -21,37 +21,36 @@ from kanirenderer_tpu.io.scene_loader import MaterialTextures, SceneBuilder
 
 
 def make_cube_obj(half: float = 25.0) -> str:
-    """OBJ text for an axis-aligned cube, Blender-style layout (one quad per
-    face, shared UV unwrap) — the same class of asset as res/cube.obj."""
+    """OBJ text for an axis-aligned cube — one coherently-unwrapped quad per
+    face (CCW outward winding, unit-square UVs per face, so the generated
+    tangent frames are orthonormal) — the same class of asset as
+    res/cube.obj."""
     h = half
-    verts = [
-        (h, h, -h), (h, -h, -h), (h, h, h), (h, -h, h),
-        (-h, h, -h), (-h, -h, -h), (-h, h, h), (-h, -h, h),
-    ]
-    normals = [(0, 1, 0), (0, 0, 1), (-1, 0, 0), (0, -1, 0), (1, 0, 0), (0, 0, -1)]
-    uvs = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
-    # faces as (vertex indices 1-based, normal index 1-based)
+    # per-face: (normal, four CCW corners seen from outside)
     faces = [
-        ((5, 3, 1), 1), ((5, 7, 3), 1),      # +y
-        ((3, 8, 4), 2), ((3, 7, 8), 2),      # +z
-        ((7, 6, 8), 3), ((7, 5, 6), 3),      # -x
-        ((2, 8, 6), 4), ((2, 4, 8), 4),      # -y
-        ((1, 4, 2), 5), ((1, 3, 4), 5),      # +x
-        ((5, 2, 6), 6), ((5, 1, 2), 6),      # -z
+        ((0, 0, 1), [(-h, -h, h), (h, -h, h), (h, h, h), (-h, h, h)]),
+        ((0, 0, -1), [(h, -h, -h), (-h, -h, -h), (-h, h, -h), (h, h, -h)]),
+        ((1, 0, 0), [(h, -h, h), (h, -h, -h), (h, h, -h), (h, h, h)]),
+        ((-1, 0, 0), [(-h, -h, -h), (-h, -h, h), (-h, h, h), (-h, h, -h)]),
+        ((0, 1, 0), [(-h, h, h), (h, h, h), (h, h, -h), (-h, h, -h)]),
+        ((0, -1, 0), [(-h, -h, -h), (h, -h, -h), (h, -h, h), (-h, -h, h)]),
     ]
+    uvs = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
     lines = ["o Cube", "mtllib none.mtl"]
-    for v in verts:
-        lines.append(f"v {v[0]} {v[1]} {v[2]}")
-    for n in normals:
+    for _, corners in faces:
+        for v in corners:
+            lines.append(f"v {v[0]} {v[1]} {v[2]}")
+    for n, _ in faces:
         lines.append(f"vn {n[0]} {n[1]} {n[2]}")
     for u in uvs:
         lines.append(f"vt {u[0]} {u[1]}")
     lines.append("usemtl Material")
-    uv_tri = [(1, 2, 3), (1, 3, 4)]
-    for i, (f, n) in enumerate(faces):
-        us = uv_tri[i % 2]
-        lines.append("f " + " ".join(
-            f"{f[k]}/{us[k]}/{n}" for k in range(3)))
+    for fi in range(6):
+        base = fi * 4 + 1
+        ids = [(base + k, k + 1, fi + 1) for k in range(4)]
+        for tri in ((0, 1, 2), (0, 2, 3)):
+            lines.append("f " + " ".join(
+                f"{ids[k][0]}/{ids[k][1]}/{ids[k][2]}" for k in tri))
     return "\n".join(lines) + "\n"
 
 

@@ -136,10 +136,19 @@ def render_frame(scene: Scene, state: FrameState,
     # --- shading (channel-planar: color is (3, H, W)) ---
     if mode == RenderMode.UNLIT:
         color = forward.shade_unlit(scene, pix)
-    elif mode == RenderMode.LIT:
-        color = forward.shade_lit(scene, pix, state.lights, None, cfg.hdr)
     elif mode == RenderMode.WIREFRAME:
         color = forward.shade_wireframe(pix)
+    elif cfg.deferred:
+        # Deferred path: G-buffer write + world-space lighting
+        # (shade/deferred.py; the reference's stubbed design realized).
+        from kanirenderer_tpu.shade import deferred as deferred_mod
+        gbuf = deferred_mod.write_gbuffer(scene, pix, state.camera.position)
+        srows = build_shadow_rows(shadow_map) \
+            if mode in (RenderMode.LIT_SHADOW, RenderMode.DEBUG) else None
+        color = deferred_mod.deferred_lighting(gbuf, state.lights, srows,
+                                               cfg.hdr, cfg.shadow_dim)
+    elif mode == RenderMode.LIT:
+        color = forward.shade_lit(scene, pix, state.lights, None, cfg.hdr)
     else:  # LIT_SHADOW or DEBUG
         shadow_rows = build_shadow_rows(shadow_map)
         color = forward.shade_lit(scene, pix, state.lights, shadow_rows,

@@ -43,7 +43,18 @@ def run(file_path: str = "", file_type: str = "opengl",
 
     Defaults match the reference: 1440×1080 window (src/lib.rs:2056),
     initial mode LitWithShadow (src/lib.rs:1033), LDR unless use_hdr.
+
+    Embedding hosts using the fixed-signature C ABI can override the
+    headless runtime via env vars: KANI_WIDTH, KANI_HEIGHT, KANI_FRAMES,
+    KANI_SINK (png|gif|window|null), KANI_OUT, KANI_MODE.
     """
+    width = int(os.environ.get("KANI_WIDTH", width))
+    height = int(os.environ.get("KANI_HEIGHT", height))
+    frames = int(os.environ.get("KANI_FRAMES", frames))
+    sink = os.environ.get("KANI_SINK", sink)
+    out = os.environ.get("KANI_OUT", out)
+    if "KANI_MODE" in os.environ:
+        mode = RenderMode[os.environ["KANI_MODE"].upper()]
     scene = load_model_or_default(file_path, file_type)
     if raster_backend is None:
         import jax

@@ -190,9 +190,15 @@ def parse_obj(text: str, mtl_loader=None, name: str = "obj") -> ObjScene:
     return ObjScene(meshes=meshes, materials=materials)
 
 
+_NATIVE_THRESHOLD = 1 << 20  # use the C++ parser for files > 1 MiB
+
+
 def load_obj(path: str) -> ObjScene:
     """Load an OBJ file; MTLs resolve relative to the CWD first (the reference
-    reads every asset from the CWD, src/resources.rs:18-22) then the OBJ dir."""
+    reads every asset from the CWD, src/resources.rs:18-22) then the OBJ dir.
+
+    Large files go through the native C++ parser (native/kani_native.cpp)
+    when libkani_native.so is built; results are identical."""
     with open(path, "r", errors="replace") as f:
         text = f.read()
     obj_dir = os.path.dirname(os.path.abspath(path))
@@ -206,5 +212,31 @@ def load_obj(path: str) -> ObjScene:
                 continue
         return None
 
-    return parse_obj(text, mtl_loader,
-                     name=os.path.splitext(os.path.basename(path))[0])
+    name = os.path.splitext(os.path.basename(path))[0]
+    if len(text) > _NATIVE_THRESHOLD:
+        scene = _load_obj_native(text, mtl_loader, name)
+        if scene is not None:
+            return scene
+    return parse_obj(text, mtl_loader, name=name)
+
+
+def _load_obj_native(text: str, mtl_loader, name: str) -> ObjScene | None:
+    from kanirenderer_tpu.io import native as native_mod
+
+    res = native_mod.parse_obj(text)
+    if res is None:
+        return None
+    meshes_raw, used_names, mtllib = res
+    mtl_text = mtl_loader(mtllib) if mtllib else None
+    if mtl_text is None:
+        mtl_text = _FALLBACK_MTL
+    materials = parse_mtl(mtl_text)
+    slot = {m.name: i for i, m in enumerate(materials)}
+    remap = [max(slot.get(n, -1), 0) for n in used_names] or [0]
+    meshes = [ObjMesh(name=name, positions=m["positions"],
+                      texcoords=m["texcoords"], normals=m["normals"],
+                      indices=m["indices"],
+                      material_id=remap[m["material_id"]]
+                      if m["material_id"] < len(remap) else 0)
+              for m in meshes_raw]
+    return ObjScene(meshes=meshes, materials=materials)

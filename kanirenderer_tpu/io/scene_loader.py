@@ -27,6 +27,7 @@ import numpy as np
 
 from kanirenderer_tpu.core.types import CHUNK_SIZE, Scene
 from kanirenderer_tpu.io import image as image_mod
+from kanirenderer_tpu.io import native as native_mod
 from kanirenderer_tpu.io.image import default_normal_image
 from kanirenderer_tpu.io import obj as obj_mod
 from kanirenderer_tpu.core.color import srgb_to_linear  # noqa: F401 (np variant below)
@@ -46,7 +47,11 @@ def compute_tbn(positions: np.ndarray, texcoords: np.ndarray,
     each corner vertex, then divided by the number of incident triangles.
     Degenerate UV triangles (zero determinant → the reference produces
     inf/nan) are zeroed instead to keep downstream math finite.
+    Uses the native C++ fast path when libkani_native.so is built.
     """
+    native_result = native_mod.compute_tbn(positions, texcoords, indices)
+    if native_result is not None:
+        return native_result
     v0 = positions[indices[:, 0]]
     v1 = positions[indices[:, 1]]
     v2 = positions[indices[:, 2]]
@@ -79,7 +84,11 @@ def compute_tbn(positions: np.ndarray, texcoords: np.ndarray,
 
 
 def morton_order(centroids: np.ndarray, bits: int = 10) -> np.ndarray:
-    """Sort order of 3D points along a Morton (Z-order) curve."""
+    """Sort order of 3D points along a Morton (Z-order) curve.
+    Uses the native C++ fast path when libkani_native.so is built."""
+    native_result = native_mod.morton_order(centroids)
+    if native_result is not None:
+        return native_result
     lo = centroids.min(axis=0)
     hi = centroids.max(axis=0)
     scale = np.where(hi > lo, (2 ** bits - 1) / np.maximum(hi - lo, 1e-30), 0.0)

@@ -1,0 +1,95 @@
+"""Native C++ library parity with the Python implementations."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from kanirenderer_tpu.io import native
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_built():
+    if native.available():
+        return True
+    rc = subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                        capture_output=True)
+    native._TRIED = False  # re-probe
+    return rc.returncode == 0 and native.available()
+
+
+pytestmark = pytest.mark.skipif(not _ensure_built(),
+                                reason="native lib unavailable")
+
+
+def test_tbn_matches_python():
+    from kanirenderer_tpu.io.scene_loader import compute_tbn
+    rng = np.random.RandomState(0)
+    pos = rng.randn(50, 3).astype(np.float32)
+    uv = rng.rand(50, 2).astype(np.float32)
+    idx = rng.randint(0, 50, (80, 3)).astype(np.int32)
+
+    nt, nb = native.compute_tbn(pos, uv, idx)
+
+    # reproduce the pure-python path
+    import kanirenderer_tpu.io.native as nat
+    lib, nat._LIB = nat._LIB, None
+    try:
+        pt, pb = compute_tbn(pos, uv, idx)
+    finally:
+        nat._LIB = lib
+    np.testing.assert_allclose(nt, pt, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(nb, pb, rtol=1e-4, atol=1e-4)
+
+
+def test_morton_matches_python():
+    from kanirenderer_tpu.io import scene_loader
+    rng = np.random.RandomState(1)
+    c = rng.randn(500, 3).astype(np.float32)
+    no = native.morton_order(c)
+    import kanirenderer_tpu.io.native as nat
+    lib, nat._LIB = nat._LIB, None
+    try:
+        po = scene_loader.morton_order(c)
+    finally:
+        nat._LIB = lib
+    np.testing.assert_array_equal(no, po)
+
+
+def test_obj_parse_matches_python():
+    from kanirenderer_tpu.io import obj as obj_mod
+    from kanirenderer_tpu.models.procedural import make_cube_obj
+    text = make_cube_obj()
+    res = native.parse_obj(text)
+    assert res is not None
+    meshes, names, mtllib = res
+    py = obj_mod.parse_obj(text, mtl_loader=lambda p: None)
+    assert len(meshes) == len(py.meshes) == 1
+    assert mtllib == "none.mtl"
+    assert names == ["Material"]
+    m, pm = meshes[0], py.meshes[0]
+    np.testing.assert_allclose(m["positions"], pm.positions)
+    np.testing.assert_allclose(m["texcoords"], pm.texcoords)
+    np.testing.assert_allclose(m["normals"], pm.normals)
+    np.testing.assert_array_equal(m["indices"], pm.indices)
+
+
+def test_obj_parse_reference_cube():
+    with open("/root/reference/res/cube.obj") as f:
+        text = f.read()
+    meshes, names, mtllib = native.parse_obj(text)
+    assert len(meshes) == 1
+    assert meshes[0]["positions"].shape == (24, 3)
+    assert meshes[0]["indices"].shape == (12, 3)
+    assert mtllib == "cube.mtl"
+
+
+def test_native_png_roundtrip(tmp_path):
+    from kanirenderer_tpu.io.image import decode_png
+    img = (np.arange(32 * 48 * 3) % 251).astype(np.uint8).reshape(48, 32, 3)
+    path = str(tmp_path / "native.png")
+    assert native.write_png(path, img)
+    back = decode_png(open(path, "rb").read())
+    np.testing.assert_array_equal(img, back)

@@ -1,0 +1,132 @@
+"""Runtime layer: controllers, hotkeys, loop, depth picking, display sinks."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import kanirenderer_tpu as kani
+from kanirenderer_tpu.models.procedural import cube_scene
+from kanirenderer_tpu.runtime import controllers
+from kanirenderer_tpu.runtime.loop import Events, run_loop
+from kanirenderer_tpu.runtime.frametime import FrameTimeGraph
+
+SCENE = cube_scene()
+
+
+def cam():
+    return kani.default_camera()
+
+
+def test_camera_wasd_moves_in_yaw_basis():
+    # default yaw -90° → forward is -Z (reference src/camera.rs:173-177)
+    c = controllers.update_camera(cam(), controllers.CameraInputs(forward=1),
+                                  dt=0.1)
+    p = np.asarray(c.position)
+    assert p[2] < 10.0 - 25.0  # moved -Z by speed 300 * 0.1
+    np.testing.assert_allclose(p[0], 0.0, atol=1e-4)
+
+    c = controllers.update_camera(cam(), controllers.CameraInputs(right=1),
+                                  dt=0.1)
+    assert np.asarray(c.position)[0] > 25.0  # right of -Z view is +X
+
+
+def test_camera_vertical_and_pitch_clamp():
+    c = controllers.update_camera(cam(), controllers.CameraInputs(up=1),
+                                  dt=0.5)
+    assert np.asarray(c.position)[1] > 5.0 + 100.0
+    # pitch clamps to ±(π/2 − 1e-4) (reference src/camera.rs:192-196)
+    c = controllers.update_camera(cam(),
+                                  controllers.CameraInputs(rotate_dy=-1e6),
+                                  dt=1.0)
+    assert abs(float(c.pitch)) <= 1.5707964 - 9e-5 + 1e-7
+
+
+def test_camera_scroll_moves_along_view():
+    c0 = cam()
+    c = controllers.update_camera(c0, controllers.CameraInputs(scroll=1.0),
+                                  dt=0.1)
+    d = np.asarray(c.position) - np.asarray(c0.position)
+    # view dir at yaw -90, pitch -20: -Z and slightly down
+    assert d[2] < 0 and d[1] < 0
+
+
+def test_movable_light_controls():
+    lights = kani.default_lights()
+    m = controllers.update_movable_light(
+        lights.movable, controllers.LightInputs(forward=1), dt=0.1)
+    assert np.asarray(m.position)[2] < -25.0 + 1.0  # IJKL yaw -90 → -Z
+    # range steps ±5 within (32, 12800) (reference src/light.rs:229-243)
+    m2 = controllers.update_movable_light(
+        m, controllers.LightInputs(d_range=1), dt=0.0)
+    assert float(m2.range) == float(m.range) + 5.0
+    # color steps ±5 per channel
+    m3 = controllers.update_movable_light(
+        m2, controllers.LightInputs(d_color=1), dt=0.0)
+    np.testing.assert_allclose(np.asarray(m3.color),
+                               np.asarray(m2.color) + 5.0)
+
+
+def test_directional_light_rotation_and_distance():
+    d = kani.default_lights().directional
+    d2 = controllers.rotate_directional_light(d, 4.0, 0.0, 0.0)
+    assert not np.allclose(np.asarray(d2.direction), np.asarray(d.direction))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d2.direction)),
+                               np.linalg.norm(np.asarray(d.direction)),
+                               rtol=1e-5)
+    # Key2/Key3: distance ±10 in [-3000, -100], scene size = |d|*1.5
+    d3 = controllers.step_directional_distance(d, +10.0)
+    assert float(d3.distance) == -1990.0
+    assert float(d3.shadow_scene_size) == 1990.0 * 1.5
+    d4 = d
+    for _ in range(5):
+        d4 = controllers.step_directional_distance(d4, -1e6)
+    assert float(d4.distance) == -3000.0
+
+
+def test_loop_tab_cycles_modes_and_renders():
+    events = [
+        Events(),                           # frame 0: LIT_SHADOW (initial)
+        Events(pressed=frozenset(["tab"])),  # → WIREFRAME
+        Events(pressed=frozenset(["tab"])),  # → DEBUG
+        Events(pressed=frozenset(["tab"])),  # → UNLIT
+    ]
+    cfg = kani.RenderConfig(width=64, height=48, shadow_dim=64)
+    stats = run_loop(SCENE, events, config=cfg, sink_kind="null")
+    assert stats["frames"] == 4
+    assert stats["mode"] == "UNLIT"
+
+
+def test_loop_present_mode_cycle_and_picking():
+    events = [
+        Events(pressed=frozenset(["f1"])),
+        Events(click_pos=(32, 24)),
+    ]
+    cfg = kani.RenderConfig(width=64, height=48, shadow_dim=64,
+                            mode=kani.RenderMode.LIT)
+    stats = run_loop(SCENE, events, config=cfg, sink_kind="null")
+    assert stats["present_mode"] == "AutoNoVsync"
+    assert len(stats["picked"]) == 1
+    x, y, raw, linear = stats["picked"][0]
+    assert 0.0 <= raw <= 1.0
+    # linearized with znear 0.1 / zfar 10000 (reference src/lib.rs:2000-2013);
+    # background depth 1.0 linearizes to ~zfar (f32 slack allowed)
+    assert 0.1 <= linear <= 10050.0
+
+
+def test_frametime_graph_ring():
+    g = FrameTimeGraph()
+    for i in range(300):
+        g.update(0.01)
+    assert g.buffer.shape == (256,)
+    np.testing.assert_allclose(g.mean_ms, 10.0, rtol=1e-3)
+    assert abs(g.fps - 100.0) < 1.0
+
+
+def test_gif_sink(tmp_path):
+    from kanirenderer_tpu.runtime.display import GifSink
+    path = str(tmp_path / "cap.gif")
+    s = GifSink(path, fps=10)
+    for i in range(3):
+        s.present(np.full((8, 8, 3), i * 80, np.uint8))
+    s.close()
+    import os
+    assert os.path.exists(path) and os.path.getsize(path) > 0

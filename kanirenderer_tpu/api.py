@@ -16,20 +16,32 @@ import os
 import numpy as np
 
 from kanirenderer_tpu.core.types import RenderConfig, RenderMode
-from kanirenderer_tpu.io.scene_loader import load_scene
-from kanirenderer_tpu.models.procedural import cube_scene
 from kanirenderer_tpu.runtime.loop import run_loop, scripted_flythrough
 
 
 def load_model_or_default(file_path: str, file_type: str = "opengl",
                           instances: int = 1):
     """Reference load_model fallback chain (src/resources.rs:73-79):
-    empty/missing path → the embedded default cube."""
+    empty/missing path → the embedded default cube.
+
+    Returns (scene, builder); the builder supports file-drop appends."""
+    import numpy as np
+    from kanirenderer_tpu.io import obj as obj_mod
+    from kanirenderer_tpu.io.scene_loader import SceneBuilder
+    from kanirenderer_tpu.models.procedural import make_cube_obj
+
+    builder = SceneBuilder()
     if file_path and os.path.exists(file_path):
-        return load_scene(file_path, file_type=file_type, instances=instances)
-    if file_path:
-        print(f"{file_path!r} not found, using default cube")
-    return cube_scene(instances=instances)
+        parsed = obj_mod.load_obj(file_path)
+        tex_dir = os.path.dirname(os.path.abspath(file_path))
+    else:
+        if file_path:
+            print(f"{file_path!r} not found, using default cube")
+        parsed = obj_mod.parse_obj(make_cube_obj(), mtl_loader=lambda p: None)
+        tex_dir = "."
+    builder.add_model(parsed, tex_dir, file_type=file_type,
+                      instances=instances, rng=np.random.RandomState(0))
+    return builder.build(), builder
 
 
 def run(file_path: str = "", file_type: str = "opengl",
@@ -55,7 +67,7 @@ def run(file_path: str = "", file_type: str = "opengl",
     out = os.environ.get("KANI_OUT", out)
     if "KANI_MODE" in os.environ:
         mode = RenderMode[os.environ["KANI_MODE"].upper()]
-    scene = load_model_or_default(file_path, file_type)
+    scene, builder = load_model_or_default(file_path, file_type)
     if raster_backend is None:
         import jax
         try:
@@ -69,7 +81,8 @@ def run(file_path: str = "", file_type: str = "opengl",
     if events is None:
         events = scripted_flythrough(frames)
     stats = run_loop(scene, events, config=cfg, sink_kind=sink,
-                     sink_path=out, max_frames=frames, verbose=verbose)
+                     sink_path=out, max_frames=frames, verbose=verbose,
+                     builder=builder, file_type=file_type)
     if verbose:
         print(f"rendered {stats['frames']} frames, "
               f"{stats['mean_ms']:.2f} ms avg ({stats['fps']:.1f} FPS), "

@@ -47,6 +47,8 @@ class Events(NamedTuple):
     mouse_look: bool = False           # RMB held (src/lib.rs:1365-1369)
     scroll: float = 0.0
     click_pos: tuple | None = None     # LMB depth-pick (src/lib.rs:1370-1376)
+    dropped_file: str | None = None    # file drop adds a model
+    #                                    (src/lib.rs:2122-2137)
     quit: bool = False
 
 
@@ -104,8 +106,14 @@ def run_loop(scene: Scene, events: Iterable[Events],
              config: RenderConfig | None = None,
              sink_kind: str = "null", sink_path: str | None = None,
              max_frames: int | None = None,
-             verbose: bool = False) -> dict:
-    """Drive frames from an event stream.  Returns run statistics."""
+             verbose: bool = False, builder=None,
+             file_type: str = "opengl") -> dict:
+    """Drive frames from an event stream.  Returns run statistics.
+
+    ``builder``: the SceneBuilder that produced ``scene`` — required to
+    honor file-drop events (the scene is rebuilt with the new model
+    appended, like the reference's drop handler, src/lib.rs:2122-2137).
+    """
     cfg = config or RenderConfig()
     app = AppState(config=cfg, camera=default_camera(),
                    lights=default_lights())
@@ -126,6 +134,23 @@ def run_loop(scene: Scene, events: Iterable[Events],
         now = time.perf_counter()
         dt = now - last
         last = now
+
+        # --- file drop: append a model and rebuild the packed scene ---
+        if ev.dropped_file is not None and builder is not None:
+            import os as _os
+            from kanirenderer_tpu.io import obj as _obj
+            try:
+                parsed = _obj.load_obj(ev.dropped_file)
+                builder.add_model(
+                    parsed,
+                    _os.path.dirname(_os.path.abspath(ev.dropped_file)),
+                    file_type=file_type)
+                scene = builder.build()
+                shadow_cache = None  # geometry changed
+                if verbose:
+                    print(f"added model {ev.dropped_file}")
+            except Exception as e:  # missing/corrupt file: keep rendering
+                print(f"file drop failed for {ev.dropped_file!r}: {e}")
 
         # --- hotkeys (State::input, src/lib.rs:1208-1379) ---
         p = ev.pressed

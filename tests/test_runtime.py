@@ -130,3 +130,35 @@ def test_gif_sink(tmp_path):
     s.close()
     import os
     assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_file_drop_appends_model(tmp_path):
+    from kanirenderer_tpu.io import obj as obj_mod
+    from kanirenderer_tpu.io.scene_loader import SceneBuilder
+    from kanirenderer_tpu.models.procedural import make_cube_obj
+
+    objpath = tmp_path / "extra.obj"
+    objpath.write_text(make_cube_obj(10.0))
+
+    b = SceneBuilder()
+    parsed = obj_mod.parse_obj(make_cube_obj(), mtl_loader=lambda p: None)
+    b.add_model(parsed, ".", instances=1)
+    scene0 = b.build()
+    events = [Events(), Events(dropped_file=str(objpath)), Events()]
+    cfg = kani.RenderConfig(width=32, height=24, shadow_dim=64,
+                            mode=kani.RenderMode.LIT)
+    stats = run_loop(scene0, events, config=cfg, sink_kind="null", builder=b)
+    assert stats["frames"] == 3
+    assert b.build().object_model.shape[0] == 2
+
+
+def test_animation_random_walk():
+    import jax
+    from kanirenderer_tpu.models.animation import random_walk_objects
+    m0 = SCENE.object_model
+    m1, key = random_walk_objects(m0, jax.random.PRNGKey(0), 1.0 / 60.0)
+    d = np.abs(np.asarray(m1[:, :3, 3]) - np.asarray(m0[:, :3, 3]))
+    assert (d > 0).all() and (d <= 100.0 / 60.0 + 1e-5).all()
+    # rotation part untouched
+    np.testing.assert_array_equal(np.asarray(m1[:, :3, :3]),
+                                  np.asarray(m0[:, :3, :3]))

@@ -187,6 +187,7 @@ class RenderConfig:
     max_pairs: int = 32768          # pair-stream capacity (v2 rasterizer)
     shadow_chunks_per_tile: int = 640  # per-tile cap for the shadow raster
     #   (ortho shadow projections concentrate geometry in few tiles)
+    shadow_tile_h: int = 64  # taller tiles suit the dense ortho projection
     # Reuse the shadow map across frames while sun+geometry are static.
     # Default off: the tunneled v5e runtime misbehaves when a cached map
     # is re-fed across executables (see passes/frame.render_shadow_map);

@@ -277,12 +277,13 @@ def rasterize_depth(st: TriangleSetup, config: RenderConfig) -> Array:
     """Depth-only shadow-map raster (tiles over the shadow_dim square)."""
     cfg = config
     dim = cfg.shadow_dim
+    th = cfg.shadow_tile_h
     tiles_x = -(-dim // cfg.tile_w)
-    tiles_y = -(-dim // cfg.tile_h)
+    tiles_y = -(-dim // th)
     bins = binning.bin_chunks(
-        st.bbox, tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
+        st.bbox, tiles_x, tiles_y, cfg.tile_w, th,
         cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
         cfg.max_global_chunks)
-    (z,) = _run(st.setup, st.bbox, bins, dim, dim, cfg.tile_w, cfg.tile_h,
+    (z,) = _run(st.setup, st.bbox, bins, dim, dim, cfg.tile_w, th,
                 False, 0.0, True)
     return z[:dim, :dim]

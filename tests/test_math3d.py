@@ -124,4 +124,5 @@ def test_transform_points_h_batch():
     pts = np.random.RandomState(0).randn(17, 3).astype(np.float32)
     got = np.asarray(m3.transform_points_h(jnp.asarray(m), jnp.asarray(pts)))
     expect = (np.concatenate([pts, np.ones((17, 1), np.float32)], 1) @ m.T)
-    np.testing.assert_allclose(got, expect, atol=1e-5)
+    # rtol covers accumulation-order drift across XLA flag environments
+    np.testing.assert_allclose(got, expect, rtol=3e-5, atol=1e-5)

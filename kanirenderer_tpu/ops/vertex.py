@@ -1,4 +1,4 @@
-"""Per-frame vertex stage and triangle setup (dense XLA).
+"""Per-frame vertex stage and triangle setup (dense XLA, component-planar).
 
 Replaces the WGSL vertex shaders (reference src/shader.wgsl:77-116) with one
 batched pass over all scene vertices:
@@ -9,6 +9,10 @@ batched pass over all scene vertices:
   positions of fragment/view/light, the (transposed) TBN rows, world
   position, shadow coordinates and UV — packed into a (V, 32) matrix so the
   shading pass gathers ONE row per corner per pixel.
+
+All math runs on component planes ((V,)/(T,) vectors) instead of (N, 3)
+rows: small minor dimensions waste most of the VPU's (8, 128) tiles, so
+arrays are transposed once at the boundaries and assembled once at the end.
 
 Triangle setup implements homogeneous 2D rasterization (Olano-Greer style):
 edge functions are built directly from clip-space coordinates via the
@@ -42,9 +46,9 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
-from kanirenderer_tpu.core import math3d
 from kanirenderer_tpu.core.types import Lights, Scene
 
 Array = jnp.ndarray
@@ -59,53 +63,72 @@ class VertexOutputs(NamedTuple):
     light_clip: Array  # (V, 4) directional-light clip positions (shadow pass)
 
 
+def _norm_planes(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
 def run_vertex_stage(scene: Scene, object_model: Array, object_normal: Array,
                      view_proj: Array, camera_pos: Array, lights: Lights,
                      light_view_proj: Array) -> VertexOutputs:
     """All per-vertex work for one frame (≈ vs_main of every forward shader,
     reference src/shader.wgsl:77-116)."""
-    model = object_model[scene.vertex_object]      # (V, 4, 4)
-    nrm_m = object_normal[scene.vertex_object]     # (V, 3, 3)
+    O = object_model.shape[0]
+    # per-vertex matrix rows, gathered once and transposed to planes
+    mm = jnp.take(object_model.reshape(O, 16), scene.vertex_object,
+                  axis=0).T                       # (16, V)
+    nm = jnp.take(object_normal.reshape(O, 9), scene.vertex_object,
+                  axis=0).T                       # (9, V)
 
-    world_pos = jnp.einsum("vij,vj->vi", model[:, :3, :3], scene.position) \
-        + model[:, :3, 3]
-    # normal_matrix * (normal|tangent|bitangent), then normalize
-    t = math3d.normalize(jnp.einsum("vij,vj->vi", nrm_m, scene.tangent))
-    b = math3d.normalize(jnp.einsum("vij,vj->vi", nrm_m, scene.bitangent))
-    n = math3d.normalize(jnp.einsum("vij,vj->vi", nrm_m, scene.normal))
+    pos = scene.position.T                        # (3, V)
+    px, py, pz = pos[0], pos[1], pos[2]
 
-    clip = math3d.transform_points_h(view_proj, world_pos)  # (V, 4)
+    wx = mm[0] * px + mm[1] * py + mm[2] * pz + mm[3]
+    wy = mm[4] * px + mm[5] * py + mm[6] * pz + mm[7]
+    wz = mm[8] * px + mm[9] * py + mm[10] * pz + mm[11]
 
-    # TBN rows dotted with positions (transposed-TBN transform).
-    def tbn_dot(p):  # p: (3,) or (V, 3)
-        p = jnp.broadcast_to(p, world_pos.shape)
-        return jnp.stack([(t * p).sum(-1), (b * p).sum(-1), (n * p).sum(-1)],
-                         axis=-1)
+    def nmul(v):  # (3, V) object-space vectors → normalized world planes
+        a = nm[0] * v[0] + nm[1] * v[1] + nm[2] * v[2]
+        b = nm[3] * v[0] + nm[4] * v[1] + nm[5] * v[2]
+        c = nm[6] * v[0] + nm[7] * v[1] + nm[8] * v[2]
+        return _norm_planes(a, b, c)
 
-    tangent_position = tbn_dot(world_pos)
-    tangent_view_position = tbn_dot(camera_pos)
-    tangent_light_position = tbn_dot(lights.movable.position)
+    tx, ty, tz = nmul(scene.tangent.T)
+    bx, by, bz = nmul(scene.bitangent.T)
+    nx, ny, nz = nmul(scene.normal.T)
+
+    def mat_apply(m):  # (4,4) @ [w, 1] for world planes → 4 planes
+        return [m[i, 0] * wx + m[i, 1] * wy + m[i, 2] * wz + m[i, 3]
+                for i in range(4)]
+
+    cx, cy, cz, cw = mat_apply(view_proj)
+    lx, ly, lz, lw = mat_apply(light_view_proj)
+
+    def tbn_dot(vx2, vy2, vz2):
+        return (tx * vx2 + ty * vy2 + tz * vz2,
+                bx * vx2 + by * vy2 + bz * vz2,
+                nx * vx2 + ny * vy2 + nz * vz2)
+
+    tp0, tp1, tp2 = tbn_dot(wx, wy, wz)
+    tv0, tv1, tv2 = tbn_dot(camera_pos[0], camera_pos[1], camera_pos[2])
+    mlp = lights.movable.position
+    tl0, tl1, tl2 = tbn_dot(mlp[0], mlp[1], mlp[2])
 
     # Shadow coordinates computed at the vertex (reference
     # src/shader.wgsl:113-114): uv = clip.xy * (0.5, -0.5) + 0.5, raw z.
-    light_clip = math3d.transform_points_h(light_view_proj, world_pos)
-    shadow_coord = jnp.stack([
-        light_clip[:, 0] * 0.5 + 0.5,
-        light_clip[:, 1] * -0.5 + 0.5,
-        light_clip[:, 2],
-    ], axis=-1)
+    sc0 = lx * 0.5 + 0.5
+    sc1 = ly * -0.5 + 0.5
+    sc2 = lz
 
-    V = world_pos.shape[0]
-    varyings = jnp.zeros((V, NV), jnp.float32)
-    varyings = varyings.at[:, 0:3].set(tangent_position)
-    varyings = varyings.at[:, 3:6].set(tangent_view_position)
-    varyings = varyings.at[:, 6:9].set(tangent_light_position)
-    varyings = varyings.at[:, 9:12].set(t)
-    varyings = varyings.at[:, 12:15].set(b)
-    varyings = varyings.at[:, 15:18].set(n)
-    varyings = varyings.at[:, 18:21].set(world_pos)
-    varyings = varyings.at[:, 21:24].set(shadow_coord)
-    varyings = varyings.at[:, 24:26].set(scene.uv)
+    uv = scene.uv.T
+    zero = jnp.zeros_like(wx)
+    varyings = jnp.stack(
+        [tp0, tp1, tp2, tv0, tv1, tv2, tl0, tl1, tl2,
+         tx, ty, tz, bx, by, bz, nx, ny, nz,
+         wx, wy, wz, sc0, sc1, sc2, uv[0], uv[1]]
+        + [zero] * (NV - 26), axis=1)             # (V, NV)
+    clip = jnp.stack([cx, cy, cz, cw], axis=1)
+    light_clip = jnp.stack([lx, ly, lz, lw], axis=1)
     return VertexOutputs(clip=clip, varyings=varyings, light_clip=light_clip)
 
 
@@ -125,21 +148,29 @@ def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
     (src/lib.rs:252-253).  Depth bias implements the shadow pipeline's
     constant=2 / slope_scale=2 state (reference src/lib.rs:896-900).
     """
-    c = clip[tri_idx]                     # (T, 3, 4)
-    x, y, z, w = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+    T = tri_idx.shape[0]
+    # one wide row gather of the three corners' clip rows, then planes
+    c12 = jnp.take(clip, tri_idx.reshape(-1), axis=0) \
+        .reshape(T, 12).T                       # (12, T): rows per corner
+    x = (c12[0], c12[4], c12[8])
+    y = (c12[1], c12[5], c12[9])
+    z = (c12[2], c12[6], c12[10])
+    w = (c12[3], c12[7], c12[11])
 
-    # Homogeneous screen coords: px/pw = pixel x, etc.  NDC y-up → pixel
-    # y-down.
-    px = (0.5 * x + 0.5 * w) * width
-    py = (0.5 * w - 0.5 * y) * height
+    # Homogeneous screen coords: px/pw = pixel x.  NDC y-up → pixel y-down.
+    px = tuple((0.5 * x[k] + 0.5 * w[k]) * width for k in range(3))
+    py = tuple((0.5 * w[k] - 0.5 * y[k]) * height for k in range(3))
     pw = w
 
-    v = jnp.stack([px, py, pw], axis=-1)  # (T, 3, 3) rows = vertices
-    v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
-    r0 = jnp.cross(v1, v2)
-    r1 = jnp.cross(v2, v0)
-    r2 = jnp.cross(v0, v1)
-    det = (v0 * r0).sum(-1)               # (T,)
+    def cross(a, b2):  # 3-plane cross product of corner vectors
+        return (py[a] * pw[b2] - pw[a] * py[b2],
+                pw[a] * px[b2] - px[a] * pw[b2],
+                px[a] * py[b2] - py[a] * px[b2])
+
+    r0 = cross(1, 2)
+    r1 = cross(2, 0)
+    r2 = cross(0, 1)
+    det = px[0] * r0[0] + py[0] * r0[1] + pw[0] * r0[2]
 
     # wgpu FrontFace::Ccw: outward-CCW-wound triangles (right-handed model
     # space, the standard OBJ convention) are front faces when they face the
@@ -148,7 +179,9 @@ def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
     # l_i = det * λ_i, so scaling the rows by sign(det) normalizes to
     # inside => l_i >= 0 for either winding.
     sgn = jnp.where(det < 0, -1.0, 1.0)
-    r0, r1, r2 = r0 * sgn[:, None], r1 * sgn[:, None], r2 * sgn[:, None]
+    r0 = tuple(v * sgn for v in r0)
+    r1 = tuple(v * sgn for v in r1)
+    r2 = tuple(v * sgn for v in r2)
 
     valid = tri_valid & (det != 0.0)
     if cull_backfaces:
@@ -160,79 +193,69 @@ def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
     #  * all three w <= 0: entirely behind the eye plane → cull;
     #  * all w > 0: standard same-plane outcode test;
     #  * mixed-sign w: keep (conservative — plane tests flip for w < 0).
-    behind = (w <= 1e-30).all(-1)
-    all_front = (w > 0.0).all(-1)
-    out_plane = ((x < -w).all(-1) | (x > w).all(-1)
-                 | (y < -w).all(-1) | (y > w).all(-1)
-                 | (z < 0.0).all(-1) | (z > w).all(-1))
+    def all3(f):
+        return f(0) & f(1) & f(2)
+
+    behind = all3(lambda k: w[k] <= 1e-30)
+    all_front = all3(lambda k: w[k] > 0.0)
+    out_plane = (all3(lambda k: x[k] < -w[k]) | all3(lambda k: x[k] > w[k])
+                 | all3(lambda k: y[k] < -w[k]) | all3(lambda k: y[k] > w[k])
+                 | all3(lambda k: z[k] < 0.0) | all3(lambda k: z[k] > w[k]))
     valid = valid & ~behind & ~(all_front & out_plane)
 
     # Interpolation rows: zw(p) = Σ l_i z_i, ww(p) = Σ l_i w_i.
-    zrow = r0 * z[:, 0:1] + r1 * z[:, 1:2] + r2 * z[:, 2:3]
-    wrow = r0 * w[:, 0:1] + r1 * w[:, 1:2] + r2 * w[:, 2:3]
+    zrow = tuple(r0[j] * z[0] + r1[j] * z[1] + r2[j] * z[2] for j in range(3))
+    wrow = tuple(r0[j] * w[0] + r1[j] * w[1] + r2[j] * w[2] for j in range(3))
 
     if depth_bias_constant or depth_bias_slope:
         # Affine z gradient in pixels: z(p) = zrow·p / wrow·p; for the ortho
         # shadow pass w is constant so dz = (zrow.xy - z*wrow.xy)/ww ≈
         # zrow.xy/ww.  Use the vertex-averaged ww as scale.
-        ww_c = jnp.abs(wrow[:, 2] + 0.5 * wrow[:, 0] + 0.5 * wrow[:, 1])
-        ww_c = jnp.maximum(ww_c, 1e-20)
-        dzdx = jnp.abs(zrow[:, 0]) / ww_c
-        dzdy = jnp.abs(zrow[:, 1]) / ww_c
-        max_slope = jnp.maximum(dzdx, dzdy)
-        bias = depth_bias_slope * max_slope + depth_bias_constant * (2.0 ** -23)
-        # fold the bias into zrow's constant term (z' = z + bias)
-        zrow = zrow + wrow * bias[:, None]
+        ww_c = jnp.maximum(jnp.abs(wrow[2] + 0.5 * wrow[0] + 0.5 * wrow[1]),
+                           1e-20)
+        max_slope = jnp.maximum(jnp.abs(zrow[0]), jnp.abs(zrow[1])) / ww_c
+        bias = depth_bias_slope * max_slope \
+            + depth_bias_constant * (2.0 ** -23)
+        zrow = tuple(zrow[j] + wrow[j] * bias for j in range(3))
 
     # Screen bbox of the VISIBLE portion.  External (near-plane-crossing)
     # triangles would project to unbounded regions, so the bbox — and only
     # the bbox; coverage stays homogeneous and clip-free — is computed from
     # the triangle clipped against w = eps: up to 3 front vertices plus up
     # to 3 edge/near-plane intersection points.  This keeps near geometry
-    # tightly binned instead of conservative-full-screen (which would bin
-    # those chunks into every tile).
+    # tightly binned instead of conservative-full-screen.
     eps = 1e-6
-    front = w > eps
-    sx_v = px / jnp.where(front, pw, 1.0)
-    sy_v = py / jnp.where(front, pw, 1.0)
+    front = tuple(w[k] > eps for k in range(3))
+    inf = jnp.float32(jnp.inf)
 
-    cand_x = [jnp.where(front[:, k], sx_v[:, k], jnp.inf) for k in range(3)]
-    cand_y = [jnp.where(front[:, k], sy_v[:, k], jnp.inf) for k in range(3)]
-    cand_x_max = [jnp.where(front[:, k], sx_v[:, k], -jnp.inf) for k in range(3)]
-    cand_y_max = [jnp.where(front[:, k], sy_v[:, k], -jnp.inf) for k in range(3)]
+    min_x = jnp.full((T,), jnp.inf, jnp.float32)
+    min_y = jnp.full((T,), jnp.inf, jnp.float32)
+    max_x = jnp.full((T,), -jnp.inf, jnp.float32)
+    max_y = jnp.full((T,), -jnp.inf, jnp.float32)
+    for k in range(3):
+        sx = px[k] / jnp.where(front[k], pw[k], 1.0)
+        sy = py[k] / jnp.where(front[k], pw[k], 1.0)
+        min_x = jnp.minimum(min_x, jnp.where(front[k], sx, inf))
+        min_y = jnp.minimum(min_y, jnp.where(front[k], sy, inf))
+        max_x = jnp.maximum(max_x, jnp.where(front[k], sx, -inf))
+        max_y = jnp.maximum(max_y, jnp.where(front[k], sy, -inf))
     for a, b2 in ((0, 1), (1, 2), (2, 0)):
-        crosses = front[:, a] != front[:, b2]
-        denom = w[:, b2] - w[:, a]
-        t = (eps - w[:, a]) / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
-        ix = (px[:, a] + t * (px[:, b2] - px[:, a])) / eps
-        iy = (py[:, a] + t * (py[:, b2] - py[:, a])) / eps
-        # clamp the (numerically huge) intersection projections to a frame
-        # slightly beyond the viewport — binning clamps further anyway
-        ix = jnp.clip(ix, -1.0, width + 1.0)
-        iy = jnp.clip(iy, -1.0, height + 1.0)
-        cand_x.append(jnp.where(crosses, ix, jnp.inf))
-        cand_y.append(jnp.where(crosses, iy, jnp.inf))
-        cand_x_max.append(jnp.where(crosses, ix, -jnp.inf))
-        cand_y_max.append(jnp.where(crosses, iy, -jnp.inf))
+        crosses = front[a] != front[b2]
+        denom = w[b2] - w[a]
+        t = (eps - w[a]) / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        ix = jnp.clip((px[a] + t * (px[b2] - px[a])) / eps,
+                      -1.0, width + 1.0)
+        iy = jnp.clip((py[a] + t * (py[b2] - py[a])) / eps,
+                      -1.0, height + 1.0)
+        min_x = jnp.minimum(min_x, jnp.where(crosses, ix, inf))
+        min_y = jnp.minimum(min_y, jnp.where(crosses, iy, inf))
+        max_x = jnp.maximum(max_x, jnp.where(crosses, ix, -inf))
+        max_y = jnp.maximum(max_y, jnp.where(crosses, iy, -inf))
 
-    x0 = jnp.floor(jnp.minimum(jnp.minimum(jnp.minimum(cand_x[0], cand_x[1]),
-                                           jnp.minimum(cand_x[2], cand_x[3])),
-                               jnp.minimum(cand_x[4], cand_x[5])))
-    y0 = jnp.floor(jnp.minimum(jnp.minimum(jnp.minimum(cand_y[0], cand_y[1]),
-                                           jnp.minimum(cand_y[2], cand_y[3])),
-                               jnp.minimum(cand_y[4], cand_y[5])))
-    x1 = jnp.ceil(jnp.maximum(jnp.maximum(
-        jnp.maximum(cand_x_max[0], cand_x_max[1]),
-        jnp.maximum(cand_x_max[2], cand_x_max[3])),
-        jnp.maximum(cand_x_max[4], cand_x_max[5]))) + 1.0
-    y1 = jnp.ceil(jnp.maximum(jnp.maximum(
-        jnp.maximum(cand_y_max[0], cand_y_max[1]),
-        jnp.maximum(cand_y_max[2], cand_y_max[3])),
-        jnp.maximum(cand_y_max[4], cand_y_max[5]))) + 1.0
-    x0 = jnp.clip(x0, 0, width)
-    y0 = jnp.clip(y0, 0, height)
-    x1 = jnp.clip(x1, 0, width)
-    y1 = jnp.clip(y1, 0, height)
+    x0 = jnp.clip(jnp.floor(min_x), 0, width)
+    y0 = jnp.clip(jnp.floor(min_y), 0, height)
+    x1 = jnp.clip(jnp.ceil(max_x) + 1.0, 0, width)
+    y1 = jnp.clip(jnp.ceil(max_y) + 1.0, 0, height)
     onscreen = (x1 > x0) & (y1 > y0)
     valid = valid & onscreen
     # Invalid triangles get an empty bbox so binning skips them.
@@ -244,13 +267,13 @@ def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
     # Invalid triangles get all-zero rows (ww ≡ 0 → never covered), so the
     # rasterizers need no separate validity test; lane 15 keeps the flag
     # for diagnostics.
-    vf = valid.astype(jnp.float32)[:, None]
-    setup = jnp.zeros((tri_idx.shape[0], NS), jnp.float32)
-    setup = setup.at[:, 0:3].set(r0 * vf)
-    setup = setup.at[:, 3:6].set(r1 * vf)
-    setup = setup.at[:, 6:9].set(r2 * vf)
-    setup = setup.at[:, 9:12].set(zrow * vf)
-    setup = setup.at[:, 12:15].set(wrow * vf)
-    setup = setup.at[:, 15].set(vf[:, 0])
-    bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
+    vf = valid.astype(jnp.float32)
+    setup = jnp.stack(
+        [r0[0] * vf, r0[1] * vf, r0[2] * vf,
+         r1[0] * vf, r1[1] * vf, r1[2] * vf,
+         r2[0] * vf, r2[1] * vf, r2[2] * vf,
+         zrow[0] * vf, zrow[1] * vf, zrow[2] * vf,
+         wrow[0] * vf, wrow[1] * vf, wrow[2] * vf,
+         vf], axis=1)                           # (T, NS)
+    bbox = jnp.stack([x0, y0, x1, y1], axis=1)
     return TriangleSetup(setup=setup, bbox=bbox)

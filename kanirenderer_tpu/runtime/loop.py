@@ -35,6 +35,7 @@ from kanirenderer_tpu.passes.frame import (render_frame, render_shadow_map,
 from kanirenderer_tpu.runtime import controllers
 from kanirenderer_tpu.runtime.display import make_sink, to_uint8
 from kanirenderer_tpu.runtime.frametime import FrameTimeGraph
+from kanirenderer_tpu.utils import log
 
 
 class Events(NamedTuple):
@@ -49,6 +50,8 @@ class Events(NamedTuple):
     click_pos: tuple | None = None     # LMB depth-pick (src/lib.rs:1370-1376)
     dropped_file: str | None = None    # file drop adds a model
     #                                    (src/lib.rs:2122-2137)
+    resize: tuple | None = None        # (w, h) window resize
+    #                                    (State::resize, src/lib.rs:1166)
     quit: bool = False
 
 
@@ -148,9 +151,16 @@ def run_loop(scene: Scene, events: Iterable[Events],
                 scene = builder.build()
                 shadow_cache = None  # geometry changed
                 if verbose:
-                    print(f"added model {ev.dropped_file}")
+                    log.info("added model %s", ev.dropped_file)
             except Exception as e:  # missing/corrupt file: keep rendering
-                print(f"file drop failed for {ev.dropped_file!r}: {e}")
+                log.warn("file drop failed for %r: %s", ev.dropped_file, e)
+
+        # --- window resize (State::resize, src/lib.rs:1166): new surface
+        # + depth texture ≡ a new static config (recompiles once) ---
+        if ev.resize is not None:
+            w, h = ev.resize
+            if w > 0 and h > 0:
+                app.config = app.config.with_(width=int(w), height=int(h))
 
         # --- hotkeys (State::input, src/lib.rs:1208-1379) ---
         p = ev.pressed

@@ -162,3 +162,30 @@ def test_animation_random_walk():
     # rotation part untouched
     np.testing.assert_array_equal(np.asarray(m1[:, :3, :3]),
                                   np.asarray(m0[:, :3, :3]))
+
+
+def test_resize_event_changes_output_size():
+    events = [Events(), Events(resize=(48, 32)), Events()]
+    frames = []
+
+    class Cap:
+        def present(self, f):
+            frames.append(f.shape)
+
+        def close(self):
+            pass
+
+    from kanirenderer_tpu.runtime import loop as loop_mod
+    cfg = kani.RenderConfig(width=32, height=24, shadow_dim=64,
+                            mode=kani.RenderMode.LIT)
+    import kanirenderer_tpu.runtime.display as disp
+    orig = disp.make_sink
+    disp.make_sink = lambda *a, **k: Cap()
+    loop_mod.make_sink = disp.make_sink
+    try:
+        run_loop(SCENE, events, config=cfg, sink_kind="null")
+    finally:
+        disp.make_sink = orig
+        loop_mod.make_sink = orig
+    assert frames[0] == (24, 32, 3)
+    assert frames[1] == (32, 48, 3)

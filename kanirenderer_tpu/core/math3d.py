@@ -19,6 +19,7 @@ Matrices are stored row-major as (4, 4) arrays acting on column vectors:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -47,7 +48,7 @@ def look_to_rh(eye: Array, direction: Array, up: Array) -> Array:
     s = normalize(cross(f, jnp.asarray(up, jnp.float32)))
     u = cross(s, f)
     rot = jnp.stack([s, u, -f])  # rows
-    trans = -rot @ eye
+    trans = -jnp.matmul(rot, eye, precision=jax.lax.Precision.HIGHEST)
     m = jnp.eye(4, dtype=jnp.float32)
     m = m.at[:3, :3].set(rot)
     m = m.at[:3, 3].set(trans)
@@ -187,12 +188,15 @@ def directional_light_view_projection(light_direction: Array, distance: Array,
                       jnp.array([0.0, 1.0, 0.0], jnp.float32))
     s = shadow_scene_size
     proj = ortho(-s, s, -s, s, -s, s)
-    return proj @ view
+    return jnp.matmul(proj, view, precision=jax.lax.Precision.HIGHEST)
 
 
 def transform_points_h(m: Array, pts: Array) -> Array:
-    """(4,4) @ [p, 1] for (..., 3) points -> (..., 4) homogeneous output."""
-    out = pts @ m[:, :3].T
+    """(4,4) @ [p, 1] for (..., 3) points -> (..., 4) homogeneous output.
+
+    Full-f32 matmul precision: TPU backends otherwise default small f32
+    matmuls to bf16 passes, which visibly degrades clip positions/depth."""
+    out = jnp.matmul(pts, m[:, :3].T, precision=jax.lax.Precision.HIGHEST)
     return out + m[:, 3]
 
 

@@ -78,8 +78,9 @@ def render_frame_sharded(scene: Scene, state: FrameState,
             state.lights.directional.direction,
             state.lights.directional.distance,
             state.lights.directional.shadow_scene_size)
+        vp = jnp.matmul(proj, view, precision=jax.lax.Precision.HIGHEST)
         vout = run_vertex_stage(scene, state.object_model,
-                                state.object_normal, proj @ view,
+                                state.object_normal, vp,
                                 state.camera.position, state.lights,
                                 light_vp)
 

@@ -75,7 +75,8 @@ def render_shadow_map(scene: Scene, state: FrameState,
         state.lights.directional.distance,
         state.lights.directional.shadow_scene_size)
     model = state.object_model[scene.vertex_object]
-    world_pos = jnp.einsum("vij,vj->vi", model[:, :3, :3], scene.position) \
+    world_pos = jnp.einsum("vij,vj->vi", model[:, :3, :3], scene.position,
+                           precision=jax.lax.Precision.HIGHEST) \
         + model[:, :3, 3]
     light_clip = math3d.transform_points_h(light_vp, world_pos)
     sh_setup = triangle_setup(
@@ -98,7 +99,8 @@ def render_frame(scene: Scene, state: FrameState,
                               cfg.znear, cfg.zfar)
     view = math3d.camera_view_matrix(state.camera.position, state.camera.yaw,
                                      state.camera.pitch)
-    view_proj = proj @ view
+    view_proj = jnp.matmul(proj, view,
+                           precision=jax.lax.Precision.HIGHEST)
     light_vp = math3d.directional_light_view_projection(
         state.lights.directional.direction,
         state.lights.directional.distance,

@@ -22,6 +22,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon sitecustomize may have imported jax and registered the TPU
+# backend before this conftest runs — in that case the env vars above are
+# too late, so force the platform through the config API as well (this
+# works as long as no computation has executed yet).
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 # NOTE: the JAX persistent compilation cache is intentionally NOT enabled —
 # on this host the XLA:CPU AOT loader reports machine-feature mismatches on
 # reload (SIGILL risk).  Runtime compiles are cheap enough for these tests.

@@ -16,8 +16,10 @@ Bindings (reference src/main.rs:11-17 banner + src/lib.rs:1208-1379):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from kanirenderer_tpu.core import math3d
@@ -59,6 +61,7 @@ class LightInputs(NamedTuple):
     d_color: float = 0.0   # ±5 per channel on key press
 
 
+@partial(jax.jit, static_argnames=("speed", "sensitivity"))
 def update_camera(cam: CameraState, inp: CameraInputs, dt: float,
                   speed: float = CAMERA_SPEED,
                   sensitivity: float = CAMERA_SENSITIVITY) -> CameraState:
@@ -87,6 +90,7 @@ def update_camera(cam: CameraState, inp: CameraInputs, dt: float,
     return CameraState(position=pos, yaw=yaw, pitch=pitch)
 
 
+@partial(jax.jit, static_argnames=("speed",))
 def update_movable_light(light: MovableLight, inp: LightInputs, dt: float,
                          speed: float = LIGHT_SPEED) -> MovableLight:
     """Reference MovableLightController::update_light (src/light.rs:263-282)

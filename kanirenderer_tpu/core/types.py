@@ -184,7 +184,6 @@ class RenderConfig:
     max_tiles_per_chunk: int = 64   # bbox expansion slots before "global" bin
     max_chunks_per_tile: int = 640  # per-tile binned chunk list capacity
     max_global_chunks: int = 128    # chunks binned to every tile
-    max_pairs: int = 32768          # pair-stream capacity (v2 rasterizer)
     shadow_chunks_per_tile: int = 640  # per-tile cap for the shadow raster
     #   (ortho shadow projections concentrate geometry in few tiles)
     shadow_tile_h: int = 64  # taller tiles suit the dense ortho projection

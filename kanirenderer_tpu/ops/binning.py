@@ -43,6 +43,9 @@ class TileBins(NamedTuple):
     #                     slots 1.. = chunk ids; the tile-aligned block the
     #                     Pallas kernel DMAs into SMEM
     num_chunks: int     # C (static)
+    overflow: Array     # () i32 — chunks DROPPED by the per-tile /global
+    #                     caps this frame (0 = complete geometry; callers
+    #                     and tests can assert/log on it)
 
 
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
@@ -96,12 +99,14 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     starts = jnp.searchsorted(skey, tids * C)
     ends = jnp.searchsorted(skey, (tids + 1) * C)
     counts = jnp.minimum(ends - starts, K).astype(jnp.int32)
+    tile_dropped = jnp.maximum(ends - starts - K, 0).sum()
 
     # --- global chunk list (spans > S tiles) ---
     gkey = jnp.where(glob, jnp.arange(C, dtype=jnp.int32), _SENTINEL)
     gsorted = jnp.sort(gkey)[:G]
     gcount = jnp.minimum(glob.sum(), G).astype(jnp.int32)
     gids = jnp.where(gsorted == _SENTINEL, -1, gsorted)
+    glob_dropped = jnp.maximum(glob.sum() - G, 0)
 
     # --- dense per-tile lists with the global list appended ---
     L = K + G
@@ -130,4 +135,5 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
         tile_counts=total.reshape(tiles_y, tiles_x),
         packed=packed,
         num_chunks=C,
+        overflow=(tile_dropped + glob_dropped).astype(jnp.int32),
     )

@@ -75,7 +75,10 @@ def interpolate(vis: VisBuffer, tri_idx: Array, tri_mat: Array,
         planes.append(v0 + (v1 - v0) * l1 + (v2 - v0) * l2)
     planar = jnp.stack(planes)                  # (USED, H, W)
     k = 3 * USED
-    base = (rec[..., k + 3] * 65536.0 + rec[..., k + 4]).astype(jnp.int32)
+    # Combine the hi/lo halves in int32 — an f32 sum would lose exactness
+    # once the texel-row table exceeds 2^24 rows (sponza-class workloads).
+    base = (rec[..., k + 3].astype(jnp.int32) * 65536
+            + rec[..., k + 4].astype(jnp.int32))
     return PixelBuffer(varyings=planar,
                        mat_id=rec[..., k].astype(jnp.int32),
                        tex_w=rec[..., k + 1].astype(jnp.int32),

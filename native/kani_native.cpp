@@ -11,8 +11,9 @@
 //     no reference analog);
 //   * PNG encode (frame dumps; zlib, filter 0 — matches io/image.py);
 //   * run_kanirenderer() C ABI (reference src/lib.rs:2174-2192) that
-//     embeds CPython and drives kanirenderer_tpu.api.run, so Go/C hosts
-//     can link one shared library, like the reference's cdylib.
+//     drives kanirenderer_tpu.api.run in a python3 child process (fixed
+//     argv, args via env — no shell), so Go/C hosts can link one shared
+//     library, like the reference's cdylib.
 //
 // Exposed via a plain C ABI consumed from Python with ctypes
 // (kanirenderer_tpu/io/native.py) and from other languages directly.
@@ -28,6 +29,9 @@
 #include <unordered_map>
 #include <vector>
 
+#include <sys/types.h>
+#include <sys/wait.h>
+#include <unistd.h>
 #include <zlib.h>
 
 extern "C" {
@@ -243,9 +247,13 @@ void* kani_obj_parse(const char* text, int64_t len) {
             }
         } else if (q < line_end && q[0] == 'f') {
             q += 1;
-            int32_t face[64];
-            int nf = 0;
-            while (q < line_end && nf < 64) {
+            // Unbounded face valence (fan-triangulated below), matching the
+            // Python parser — a fixed cap would silently drop geometry on
+            // high-valence polygon meshes.
+            static thread_local std::vector<int32_t> face;
+            face.clear();
+            size_t nf = 0;
+            while (q < line_end) {
                 skip_ws(q);
                 if (q >= line_end) break;
                 // parse p[/t[/n]]
@@ -287,9 +295,10 @@ void* kani_obj_parse(const char* text, int64_t len) {
                 } else {
                     vid = it->second;
                 }
-                face[nf++] = vid;
+                face.push_back(vid);
+                ++nf;
             }
-            for (int k = 1; k + 1 < nf; ++k) {  // fan triangulation
+            for (size_t k = 1; k + 1 < nf; ++k) {  // fan triangulation
                 mesh.indices.push_back(face[0]);
                 mesh.indices.push_back(face[k]);
                 mesh.indices.push_back(face[k + 1]);
@@ -439,37 +448,42 @@ int kani_write_png(const char* path, const uint8_t* img, int w, int h,
 
 // ---------------------------------------------------------------------------
 // Embeddable app entry (reference src/lib.rs:2174-2192): drive the Python
-// runtime from C/Go hosts via an embedded CPython, like the reference's
-// cdylib entry drives its event loop.
+// runtime from C/Go hosts.  The renderer runs in a python3 child process
+// launched with a FIXED argv (fork + execvp, no shell): arguments travel
+// through KANI_ARG_* environment variables, so no caller string can ever be
+// interpreted as code.  This keeps the library free of a hard libpython
+// dependency, which Go/C hosts typically prefer.
 // ---------------------------------------------------------------------------
 
 int run_kanirenderer(const char* file_path, const char* file_type,
                      const char* fullscreen_mode, int use_hdr) {
-    std::string cmd =
-        "import sys; sys.path.insert(0, '.');\n"
-        "import kanirenderer_tpu.api as api\n"
-        "api.run(file_path=" ;
-    auto quote = [](const char* s) {
-        std::string out = "'";
-        for (const char* p = s ? s : ""; *p; ++p) {
-            if (*p == '\'' || *p == '\\') out.push_back('\\');
-            out.push_back(*p);
-        }
-        out += "'";
-        return out;
-    };
-    cmd += quote(file_path) + ", file_type=" + quote(file_type) +
-           ", fullscreen_mode=" + quote(fullscreen_mode) +
-           ", use_hdr=" + (use_hdr ? "True" : "False") + ")\n";
+    // Arguments via environment — immune to quoting/injection.
+    setenv("KANI_ARG_FILE_PATH", file_path ? file_path : "", 1);
+    setenv("KANI_ARG_FILE_TYPE", file_type ? file_type : "opengl", 1);
+    setenv("KANI_ARG_FULLSCREEN",
+           fullscreen_mode ? fullscreen_mode : "windowed", 1);
+    setenv("KANI_ARG_HDR", use_hdr ? "1" : "0", 1);
 
-    // Weak-link against an already-initialized interpreter if present;
-    // otherwise shell out to the CLI (keeps this library free of a hard
-    // libpython dependency — Go/C hosts typically prefer the subprocess).
-    std::string shell = "python3 -c \"import kanirenderer_tpu.api as a; "
-                        "a.run('";
-    (void)shell;
-    std::string py = "python3 - <<'KANI_EOF'\n" + cmd + "KANI_EOF\n";
-    return system(py.c_str());
+    static const char kProgram[] =
+        "import os, sys\n"
+        "sys.path.insert(0, '.')\n"
+        "import kanirenderer_tpu.api as api\n"
+        "api.run(file_path=os.environ['KANI_ARG_FILE_PATH'],\n"
+        "        file_type=os.environ['KANI_ARG_FILE_TYPE'],\n"
+        "        fullscreen_mode=os.environ['KANI_ARG_FULLSCREEN'],\n"
+        "        use_hdr=os.environ['KANI_ARG_HDR'] == '1')\n";
+
+    pid_t pid = fork();
+    if (pid < 0) return -1;
+    if (pid == 0) {
+        const char* argv[] = {"python3", "-c", kProgram, nullptr};
+        execvp("python3", const_cast<char* const*>(argv));
+        _exit(127);  // execvp failed
+    }
+    int status = 0;
+    if (waitpid(pid, &status, 0) < 0) return -1;
+    if (WIFEXITED(status)) return WEXITSTATUS(status);
+    return -1;
 }
 
 }  // extern "C"

@@ -78,11 +78,28 @@ def run(file_path: str = "", file_type: str = "opengl",
         raster_backend = "pallas" if on_tpu else "xla"
     cfg = RenderConfig(width=width, height=height, mode=mode, hdr=use_hdr,
                        raster_backend=raster_backend)
+    # Interactive path: a live window is both sink and event source —
+    # flying the camera with WASD/mouse works like the reference's winit
+    # loop (src/lib.rs:2091-2140).  Headless hosts fall back to scripted
+    # events + the PNG-dumping window sink.
+    sink_obj = None
+    if sink == "window" and events is None:
+        try:
+            from kanirenderer_tpu.runtime.input import (InteractiveWindow,
+                                                        interactive_source)
+            sink_obj = InteractiveWindow(
+                width, height, fullscreen=(fullscreen_mode == "fullscreen"))
+            events = interactive_source(sink_obj)
+        except Exception as e:
+            if verbose:
+                print(f"no display ({e!r}); falling back to scripted events")
     if events is None:
         events = scripted_flythrough(frames)
     stats = run_loop(scene, events, config=cfg, sink_kind=sink,
-                     sink_path=out, max_frames=frames, verbose=verbose,
-                     builder=builder, file_type=file_type)
+                     sink_path=out,
+                     max_frames=frames if frames > 0 else None,
+                     verbose=verbose,
+                     builder=builder, file_type=file_type, sink=sink_obj)
     if verbose:
         print(f"rendered {stats['frames']} frames, "
               f"{stats['mean_ms']:.2f} ms avg ({stats['fps']:.1f} FPS), "

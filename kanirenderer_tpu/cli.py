@@ -38,7 +38,8 @@ def main(argv=None) -> int:
                     help="hdr:true|hdr:false")
     ap.add_argument("--width", type=int, default=1440)
     ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--frames", type=int, default=60,
+                    help="frame count; 0 = run until quit (interactive)")
     ap.add_argument("--mode", default="lit_shadow",
                     choices=[m.name.lower() for m in RenderMode])
     ap.add_argument("--sink", default="png",

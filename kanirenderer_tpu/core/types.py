@@ -187,11 +187,14 @@ class RenderConfig:
     shadow_chunks_per_tile: int = 640  # per-tile cap for the shadow raster
     #   (ortho shadow projections concentrate geometry in few tiles)
     shadow_tile_h: int = 64  # taller tiles suit the dense ortho projection
-    # Reuse the shadow map across frames while sun+geometry are static.
-    # Default off: the tunneled v5e runtime misbehaves when a cached map
-    # is re-fed across executables (see passes/frame.render_shadow_map);
-    # the reference re-renders every frame anyway (src/lib.rs:1721).
-    cache_shadow_map: bool = False
+    # Reuse the shadow map across frames while sun+geometry are static —
+    # the steady-state behavior of the interactive loop (the reference
+    # re-renders every frame, src/lib.rs:1721).  The fresh/cached switch
+    # is a lax.cond inside ONE executable (passes/frame.render_frame):
+    # alternating between two distinct heavyweight executables corrupts
+    # the tunneled v5e runtime, so the legacy external-map path stays
+    # test-only.
+    cache_shadow_map: bool = True
     # Deferred pipeline (the reference stubbed it, src/lib.rs:730-736):
     # G-buffer write + world-space deferred lighting instead of the
     # forward tangent-space path.  Applies to LIT/LIT_SHADOW/DEBUG modes.

@@ -90,7 +90,19 @@ def render_shadow_map(scene: Scene, state: FrameState,
 @partial(jax.jit, static_argnames=("config",))
 def render_frame(scene: Scene, state: FrameState,
                  config: RenderConfig,
-                 shadow_map: Array | None = None) -> FrameOutputs:
+                 shadow_map: Array | None = None,
+                 use_cached_shadow: Array | None = None) -> FrameOutputs:
+    """Render one frame.
+
+    Shadow-map caching (steady-state interactive behavior; the reference
+    re-renders per frame, src/lib.rs:1721): pass the cached map as
+    ``shadow_map`` plus a traced bool ``use_cached_shadow``.  The shadow
+    raster is then skipped via ``lax.cond`` *inside the same executable* —
+    crucial on this runtime, where alternating between two distinct
+    heavyweight executables with changing inputs corrupts device state
+    (see docs/PERFORMANCE.md).  With ``use_cached_shadow`` None the map is
+    statically external (legacy two-executable path, used by tests).
+    """
     cfg = config
     mode = cfg.mode
 
@@ -113,18 +125,37 @@ def render_frame(scene: Scene, state: FrameState,
     # --- shadow pass (modes LitWithShadow/Debug, src/lib.rs:1721-1751) ---
     # A host-cached map may be supplied (see render_shadow_map).
     needs_shadow = mode in (RenderMode.LIT_SHADOW, RenderMode.DEBUG)
-    external_shadow = shadow_map is not None
-    if shadow_map is None:
-        if needs_shadow:
-            sh_setup = triangle_setup(
-                vout.light_clip, scene.tri_idx, scene.tri_valid,
-                cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
-                depth_bias_constant=cfg.shadow_bias_constant,
-                depth_bias_slope=cfg.shadow_bias_slope)
-            shadow_map = _rasterize_depth(sh_setup, cfg)
-        else:
-            shadow_map = jnp.ones((cfg.shadow_dim, cfg.shadow_dim),
-                                  jnp.float32)
+    external_shadow = shadow_map is not None and use_cached_shadow is None
+
+    def _fresh_shadow():
+        sh_setup = triangle_setup(
+            vout.light_clip, scene.tri_idx, scene.tri_valid,
+            cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
+            depth_bias_constant=cfg.shadow_bias_constant,
+            depth_bias_slope=cfg.shadow_bias_slope)
+        return _rasterize_depth(sh_setup, cfg)
+
+    if not needs_shadow:
+        shadow_map = jnp.ones((cfg.shadow_dim, cfg.shadow_dim), jnp.float32)
+        shadow_emit = shadow_map
+    elif use_cached_shadow is not None:
+        assert shadow_map is not None, \
+            "use_cached_shadow requires a shadow_map buffer"
+        # One executable, both paths: a fresh frame renders and EMITS the
+        # map (the host caches it); a cached frame skips the raster and
+        # emits zeros (never pass an input through to an output — aliased
+        # buffers corrupt the tunneled runtime on re-execution).
+        shadow_map, shadow_emit = jax.lax.cond(
+            use_cached_shadow,
+            lambda: (shadow_map,
+                     jnp.zeros((cfg.shadow_dim, cfg.shadow_dim),
+                               jnp.float32)),
+            lambda: (lambda m: (m, m))(_fresh_shadow()))
+    elif shadow_map is None:
+        shadow_map = _fresh_shadow()
+        shadow_emit = shadow_map
+    else:
+        shadow_emit = None  # statically external
 
     # --- main raster ---
     wireframe = mode == RenderMode.WIREFRAME
@@ -175,14 +206,14 @@ def render_frame(scene: Scene, state: FrameState,
         image = jnp.clip(image, 0.0, 1.0)
     else:
         image = linear_to_srgb(image)
-    if external_shadow:
+    if external_shadow or shadow_emit is None:
         # Never pass an input buffer through to an output: input-output
         # aliased executables corrupt runtime state on re-execution with
         # changed inputs (observed on the tunneled v5e backend).  The
         # caller already holds the map it passed in.
         shadow_out = jnp.zeros((1, 1), jnp.float32)
     else:
-        shadow_out = shadow_map
+        shadow_out = shadow_emit
     return FrameOutputs(image=image, depth=vis.z, shadow=shadow_out)
 
 

@@ -1,0 +1,189 @@
+"""Interactive input: a live tkinter window that is both a display sink and
+an event source.
+
+The reference's winit event routing (src/lib.rs:2091-2140) maps to:
+
+* ``EventAccumulator`` — pure event-translation/accumulation logic (tk
+  event names → the loop's ``Events`` pytree); unit-testable headlessly;
+* ``InteractiveWindow`` — a tkinter window with key/mouse/scroll capture
+  feeding an ``EventAccumulator``, honoring F11 fullscreen
+  (src/lib.rs:1231-1247) by actually toggling the window, and presenting
+  frames like ``runtime.display.WindowSink``;
+* ``interactive_source`` — an ``Events`` iterator for ``run_loop``.
+
+Mouse-look follows the reference: deltas rotate the camera only while the
+right button is held (src/lib.rs:1365-1369, 2092-2102); the left button
+arms depth picking (src/lib.rs:1370-1376).
+"""
+
+from __future__ import annotations
+
+from kanirenderer_tpu.runtime.loop import Events
+
+# tk keysym (lowercased) → the loop's key names (see loop._camera_inputs /
+# _light_inputs / run_loop hotkeys).
+TK_KEYMAP = {
+    "w": "w", "a": "a", "s": "s", "d": "d",
+    "up": "up", "down": "down", "left": "left", "right": "right",
+    "space": "space", "shift_l": "lshift",
+    "tab": "tab", "f1": "f1", "f11": "f11",
+    "1": "1", "2": "2", "3": "3",
+    "r": "r", "t": "t", "y": "y",
+    "i": "i", "j": "j", "k": "k", "l": "l", "u": "u", "o": "o",
+    "equal": "=", "plus": "=", "minus": "-",
+    "bracketleft": "[", "bracketright": "]",
+    "escape": "escape",
+}
+
+
+class EventAccumulator:
+    """Accumulates window events between frames; ``poll()`` snapshots them
+    as one ``Events`` and clears the per-frame edges."""
+
+    def __init__(self):
+        self.held: set = set()
+        self._pressed: set = set()
+        self._was_held: set = set()
+        self._dx = 0.0
+        self._dy = 0.0
+        self._scroll = 0.0
+        self._look = False
+        self._click = None
+        self._resize = None
+        self._drop = None
+        self._quit = False
+        self._last_xy = None
+
+    # --- feed (called from UI callbacks) ---
+    def key_press(self, keysym: str) -> None:
+        name = TK_KEYMAP.get(keysym.lower())
+        if name is None:
+            return
+        if name == "escape":
+            self._quit = True
+            return
+        # X11 auto-repeat emits release+press pairs; only count a press
+        # as "newly pressed" if the key wasn't held at the last poll.
+        if name not in self._was_held:
+            self._pressed.add(name)
+        self.held.add(name)
+
+    def key_release(self, keysym: str) -> None:
+        self.held.discard(TK_KEYMAP.get(keysym.lower()))
+
+    def mouse_move(self, x: float, y: float) -> None:
+        if self._last_xy is not None:
+            self._dx += x - self._last_xy[0]
+            self._dy += y - self._last_xy[1]
+        self._last_xy = (x, y)
+
+    def button_press(self, num: int, x: float, y: float) -> None:
+        if num == 1:
+            self._click = (x, y)
+        elif num == 3:
+            self._look = True
+        elif num == 4:   # X11 wheel up
+            self._scroll += 1.0
+        elif num == 5:   # X11 wheel down
+            self._scroll -= 1.0
+
+    def button_release(self, num: int) -> None:
+        if num == 3:
+            self._look = False
+
+    def wheel(self, delta: float) -> None:
+        self._scroll += delta / 120.0  # Windows-style wheel units
+
+    def configure(self, width: int, height: int) -> None:
+        self._resize = (width, height)
+
+    def drop_file(self, path: str) -> None:
+        self._drop = path
+
+    def close(self) -> None:
+        self._quit = True
+
+    # --- drain ---
+    def poll(self) -> Events:
+        ev = Events(
+            held=frozenset(self.held),
+            pressed=frozenset(self._pressed),
+            mouse_dx=self._dx, mouse_dy=self._dy,
+            mouse_look=self._look,
+            scroll=self._scroll,
+            click_pos=self._click,
+            dropped_file=self._drop,
+            resize=self._resize,
+            quit=self._quit,
+        )
+        self._pressed = set()
+        self._was_held = set(self.held)
+        self._dx = self._dy = self._scroll = 0.0
+        self._click = None
+        self._resize = None
+        self._drop = None
+        return ev
+
+
+class InteractiveWindow:
+    """Live tkinter window with input capture.  Raises RuntimeError when no
+    display is available (callers fall back to scripted events + PNG)."""
+
+    def __init__(self, width: int, height: int, title: str = "kanirenderer",
+                 fullscreen: bool = False):
+        import tkinter
+        from PIL import Image, ImageTk
+
+        self.acc = EventAccumulator()
+        root = tkinter.Tk()
+        root.title(title)
+        root.geometry(f"{width}x{height}")
+        label = tkinter.Label(root)
+        label.pack(fill="both", expand=True)
+        self._tk = (tkinter, root, label, Image, ImageTk)
+        self._fullscreen = False
+
+        acc = self.acc
+        root.bind("<KeyPress>", lambda e: acc.key_press(e.keysym))
+        root.bind("<KeyRelease>", lambda e: acc.key_release(e.keysym))
+        root.bind("<Motion>", lambda e: acc.mouse_move(e.x, e.y))
+        root.bind("<ButtonPress>",
+                  lambda e: acc.button_press(e.num, e.x, e.y))
+        root.bind("<ButtonRelease>", lambda e: acc.button_release(e.num))
+        root.bind("<MouseWheel>", lambda e: acc.wheel(e.delta))
+        root.protocol("WM_DELETE_WINDOW", acc.close)
+        if fullscreen:
+            self.set_fullscreen(True)
+
+    # --- sink interface ---
+    def present(self, frame) -> None:
+        tkinter, root, label, Image, ImageTk = self._tk
+        photo = ImageTk.PhotoImage(Image.fromarray(frame))
+        label.configure(image=photo)
+        label.image = photo
+        root.update()
+
+    def close(self) -> None:
+        try:
+            self._tk[1].destroy()
+        except Exception:
+            pass
+
+    # --- window control (F11, reference src/lib.rs:1231-1247) ---
+    def set_fullscreen(self, fullscreen: bool) -> None:
+        self._fullscreen = fullscreen
+        try:
+            self._tk[1].attributes("-fullscreen", fullscreen)
+        except Exception:
+            pass
+
+    # --- event-source interface ---
+    def poll(self) -> Events:
+        self._tk[1].update()  # pump pending UI events into the accumulator
+        return self.acc.poll()
+
+
+def interactive_source(window: InteractiveWindow):
+    """Yield one ``Events`` per frame from a live window, forever."""
+    while True:
+        yield window.poll()

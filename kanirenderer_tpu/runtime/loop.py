@@ -24,14 +24,14 @@ import dataclasses
 import time
 from typing import Iterable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from kanirenderer_tpu.core.types import (DebugTexture, FrameState, Lights,
                                          RenderConfig, RenderMode, Scene,
                                          default_camera, default_lights)
-from kanirenderer_tpu.passes.frame import (render_frame, render_shadow_map,
-                                           linearize_depth)
+from kanirenderer_tpu.passes.frame import render_frame, linearize_depth
 from kanirenderer_tpu.runtime import controllers
 from kanirenderer_tpu.runtime.display import make_sink, to_uint8
 from kanirenderer_tpu.runtime.frametime import FrameTimeGraph
@@ -110,26 +110,35 @@ def run_loop(scene: Scene, events: Iterable[Events],
              sink_kind: str = "null", sink_path: str | None = None,
              max_frames: int | None = None,
              verbose: bool = False, builder=None,
-             file_type: str = "opengl") -> dict:
+             file_type: str = "opengl", sink=None) -> dict:
     """Drive frames from an event stream.  Returns run statistics.
 
     ``builder``: the SceneBuilder that produced ``scene`` — required to
     honor file-drop events (the scene is rebuilt with the new model
     appended, like the reference's drop handler, src/lib.rs:2122-2137).
+
+    ``sink``: an already-constructed sink (e.g. an InteractiveWindow that
+    is also the event source); overrides ``sink_kind``.
     """
     cfg = config or RenderConfig()
     app = AppState(config=cfg, camera=default_camera(),
                    lights=default_lights())
-    sink = make_sink(sink_kind, sink_path, cfg.width, cfg.height)
+    if sink is None:
+        sink = make_sink(sink_kind, sink_path, cfg.width, cfg.height)
     graph = FrameTimeGraph()
     frames = 0
     last = time.perf_counter()
     picked: list = []
     # Shadow-map cache: the map only depends on the sun and the geometry,
     # not the camera — recompute only when those change (the reference
-    # re-renders it every frame; we memoize).
+    # re-renders it every frame; we memoize).  The fresh/cached switch is
+    # a traced lax.cond INSIDE the frame executable (see
+    # passes/frame.render_frame); the host only decides the flag and
+    # round-trips the map once when the sun settles.
     shadow_cache = None
     shadow_key = None
+    shadow_prev_key = None
+    shadow_zeros = None
 
     for ev in events:
         if ev.quit or (max_frames is not None and frames >= max_frames):
@@ -167,9 +176,18 @@ def run_loop(scene: Scene, events: Iterable[Events],
         if "tab" in p:
             app.cycle_mode()
         if "f1" in p:
+            # Present-mode cycle (reference src/lib.rs:1248-1280).  The
+            # headless analog of vsync is frame pacing: AutoVsync/Fifo cap
+            # the loop at 60 Hz (see the sleep below), AutoNoVsync/
+            # Immediate free-run.
             app.present_mode = (app.present_mode + 1) % len(PRESENT_MODES)
+            log.info("present mode: %s", PRESENT_MODES[app.present_mode])
         if "f11" in p:
+            # Fullscreen toggle with a real effect on window sinks
+            # (reference src/lib.rs:1231-1247).
             app.fullscreen = not app.fullscreen
+            if hasattr(sink, "set_fullscreen"):
+                sink.set_fullscreen(app.fullscreen)
         if "1" in p:
             app.toggle_debug_texture()
         d = app.lights.directional
@@ -200,19 +218,37 @@ def run_loop(scene: Scene, events: Iterable[Events],
             frame_times_ms=jnp.asarray(graph.buffer))
         needs_shadow = app.config.mode in (RenderMode.LIT_SHADOW,
                                            RenderMode.DEBUG)
-        shadow = None
         if needs_shadow and app.config.cache_shadow_map:
             d = app.lights.directional
             key = (app.config.shadow_dim,
                    tuple(np.asarray(d.direction).tolist()),
                    float(d.distance), float(d.shadow_scene_size))
-            if key != shadow_key or shadow_cache is None:
-                shadow_cache = render_shadow_map(scene, state, app.config)
+            cached = key == shadow_key and shadow_cache is not None
+            if shadow_zeros is None or shadow_zeros.shape[0] != \
+                    app.config.shadow_dim:
+                shadow_zeros = jnp.zeros(
+                    (app.config.shadow_dim, app.config.shadow_dim),
+                    jnp.float32)
+            buf = shadow_cache if cached else shadow_zeros
+            out = render_frame(scene, state, app.config, buf,
+                               jnp.bool_(cached))
+            # Cache the freshly-emitted map once the sun has been stable
+            # for two frames (avoids a 16 MB host round-trip per frame
+            # while the sun is actively rotating).
+            if not cached and key == shadow_prev_key:
+                shadow_cache = jax.device_put(np.asarray(out.shadow))
                 shadow_key = key
-            shadow = shadow_cache
-        out = render_frame(scene, state, app.config, shadow)
+            shadow_prev_key = key
+        else:
+            out = render_frame(scene, state, app.config)
         sink.present(to_uint8(out.image))
         frames += 1
+
+        # --- frame pacing: the vsync-like present modes cap at 60 Hz ---
+        if PRESENT_MODES[app.present_mode] in ("AutoVsync", "Fifo"):
+            budget = 1.0 / 60.0 - (time.perf_counter() - now)
+            if budget > 0:
+                time.sleep(budget)
 
         # --- depth picking (src/lib.rs:1923-2039) ---
         if ev.click_pos is not None:

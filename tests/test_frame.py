@@ -82,6 +82,29 @@ def test_shadow_map_populated_only_when_needed():
     assert (np.asarray(out_sh.shadow) < 1.0).any()
 
 
+def test_cond_shadow_cache_matches_fresh():
+    """The in-executable lax.cond cache path (use_cached_shadow) must
+    reproduce the plain fresh-shadow image exactly, both ways."""
+    cfg = kani.RenderConfig(width=128, height=96,
+                            mode=kani.RenderMode.LIT_SHADOW, shadow_dim=256)
+    state = kani.frame_state(SCENE, OUTSIDE_CAM, LIGHTS)
+    ref = render_frame(SCENE, state, cfg)
+
+    zeros = jnp.zeros((256, 256), jnp.float32)
+    fresh = render_frame(SCENE, state, cfg, zeros, jnp.bool_(False))
+    np.testing.assert_array_equal(np.asarray(fresh.image),
+                                  np.asarray(ref.image))
+    # the fresh frame EMITS the map for the host cache
+    np.testing.assert_array_equal(np.asarray(fresh.shadow),
+                                  np.asarray(ref.shadow))
+
+    cached = render_frame(SCENE, state, cfg, fresh.shadow, jnp.bool_(True))
+    np.testing.assert_array_equal(np.asarray(cached.image),
+                                  np.asarray(ref.image))
+    # cached frames emit zeros (no input-output aliasing)
+    assert (np.asarray(cached.shadow) == 0.0).all()
+
+
 def test_debug_mode_overlays():
     out = render(kani.RenderMode.DEBUG)
     img = np.asarray(out.image)

@@ -11,12 +11,13 @@ workload (~262K triangles, 25 materials with diffuse+normal textures;
 res/sponza.obj itself is a stripped large blob in the reference snapshot).
 The camera flies through the courtyard.
 
-Shadow handling: frame 0 renders the 2048² shadow map and the host caches
-it; steady-state frames skip the shadow raster via the in-executable
-lax.cond switch (see passes/frame.render_frame) — exactly what the
-interactive loop does while the sun is static.  The reference re-renders
-the map every frame (src/lib.rs:1721-1751); that cost is reported in
-``detail.fresh_shadow_fps`` for comparison.
+Shadow handling: the 2048² shadow map is re-rendered every frame inside
+the same executable — exactly the reference's behavior
+(src/lib.rs:1721-1751).  NOTE: the tunneled axon runtime corrupts device
+state when a cached shadow buffer is re-fed across invocations (both via
+lax.cond and as a plain executable input — see docs/PERFORMANCE.md), so
+the shadow-cache optimization is disabled here; the benchmark measures
+the honest fresh-shadow frame.
 """
 
 import json
@@ -54,36 +55,28 @@ def main() -> None:
 
     inputs = CameraInputs(forward=1.0, rotate_dx=6.0)
 
-    def flythrough(n, use_cached, shadow_buf):
-        """n frames; returns (seconds, last image).  One device fetch at
-        the end — per-frame block_until_ready does not actually serialize
-        through the tunneled runtime, but device execution is serial, so
-        total wall time over n frames is true throughput."""
+    def flythrough(n):
+        """n frames, shadow re-rendered per frame (reference behavior).
+        One device fetch at the end — device execution is serial, so total
+        wall time over n dispatches is true throughput."""
         cam = cam0
         outs = None
         t0 = time.perf_counter()
         for _ in range(n):
             cam = update_camera(cam, inputs, 1.0 / 60.0)
             state = kani.frame_state(scene, cam, lights)
-            outs = render_frame(scene, state, cfg, shadow_buf,
-                                jnp.bool_(use_cached))
+            outs = render_frame(scene, state, cfg)
         np.asarray(outs.image)  # serialize
         return time.perf_counter() - t0
 
-    zeros = jnp.zeros((cfg.shadow_dim, cfg.shadow_dim), jnp.float32)
-
-    # warm up / compile + capture the shadow map (frame 0 behavior)
+    # warm up / compile
     state = kani.frame_state(scene, cam0, lights)
-    out0 = render_frame(scene, state, cfg, zeros, jnp.bool_(False))
-    shadow = jax.device_put(np.asarray(out0.shadow))
+    np.asarray(render_frame(scene, state, cfg).image)
+    flythrough(2)
 
-    flythrough(2, True, shadow)  # warm steady-state path
+    dt = flythrough(frames)
 
-    dt_cached = flythrough(frames, True, shadow)
-    dt_fresh = flythrough(max(frames // 3, 5), False, zeros)
-
-    fps = frames / dt_cached
-    fresh_fps = max(frames // 3, 5) / dt_fresh
+    fps = frames / dt
     tris = int(np.asarray(scene.tri_valid).sum())
     result = {
         "metric": "fps_1080p_sponza_standin_lit_shadow_v5e"
@@ -95,9 +88,8 @@ def main() -> None:
             "frames": frames,
             "triangles": tris,
             "resolution": "1920x1080",
-            "mode": "LIT_SHADOW (shadow cached while sun static; "
-                    "fresh_shadow_fps = re-rendered per frame)",
-            "fresh_shadow_fps": round(fresh_fps, 3),
+            "mode": "LIT_SHADOW (shadow map re-rendered per frame, "
+                    "reference parity)",
             "backend": cfg.raster_backend,
             "device": str(jax.devices()[0]),
             "mtris_per_sec": round(tris * fps / 1e6, 1),

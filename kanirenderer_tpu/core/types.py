@@ -190,11 +190,13 @@ class RenderConfig:
     # Reuse the shadow map across frames while sun+geometry are static —
     # the steady-state behavior of the interactive loop (the reference
     # re-renders every frame, src/lib.rs:1721).  The fresh/cached switch
-    # is a lax.cond inside ONE executable (passes/frame.render_frame):
-    # alternating between two distinct heavyweight executables corrupts
-    # the tunneled v5e runtime, so the legacy external-map path stays
-    # test-only.
-    cache_shadow_map: bool = True
+    # is a lax.cond inside ONE executable (passes/frame.render_frame).
+    # Default OFF: the tunneled axon v5e runtime corrupts device state
+    # when a cached 2048² buffer is re-fed across invocations — via
+    # lax.cond, as a plain executable input, and even carried through a
+    # lax.scan (all three reproduced; see docs/PERFORMANCE.md).  The path
+    # is correct on CPU and standard TPU runtimes (covered by tests).
+    cache_shadow_map: bool = False
     # Deferred pipeline (the reference stubbed it, src/lib.rs:730-736):
     # G-buffer write + world-space deferred lighting instead of the
     # forward tangent-space path.  Applies to LIT/LIT_SHADOW/DEBUG modes.

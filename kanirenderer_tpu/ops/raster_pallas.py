@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kanirenderer_tpu.core.types import CHUNK_SIZE, RenderConfig
 from kanirenderer_tpu.ops import binning
+from kanirenderer_tpu.ops.interpolate import USED, PixelBuffer
 from kanirenderer_tpu.ops.raster_xla import VisBuffer
 from kanirenderer_tpu.ops.vertex import NS, TriangleSetup
 
@@ -39,6 +40,13 @@ SUBBATCH = 8
 STRIP_H = 8   # strip rows for per-subbatch y-granular evaluation
 NBUF = 4      # chunk DMA pipeline depth
 _BIG = float("inf")
+
+# Chunk-row lane layout for the fused raster+interpolate kernel:
+# [setup 0:16 | bbox 16:20 | v0 varyings 20:46 | v1 46:72 | v2 72:98 |
+#  mat, tex_w, tex_h, base_hi, base_lo 98:103 | pad]
+REC0 = NS + 4            # 20
+PAR0 = REC0 + 3 * USED   # 98
+REC_LANES = 3 * USED + 5  # matches interpolate.build_tri_records width
 
 
 def _interpret() -> bool:
@@ -270,6 +278,255 @@ def rasterize(st: TriangleSetup, config: RenderConfig,
     H, W = cfg.height, cfg.width
     return VisBuffer(tri=tri[:H, :W], z=z[:H, :W],
                      bary=jnp.stack([b1[:H, :W], b2[:H, :W]], axis=-1))
+
+
+def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
+                  th_ref, base_ref, tid_ref, list_smem, chunk_buf, cand_ref,
+                  list_sem, sem, *, tile_h, tile_w, tiles_x, wireframe,
+                  wire_thresh):
+    """Raster + interpolate in one pass over the tile's chunk list.
+
+    Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
+    (zw, ww, rid) payload; the winner is stored as its POSITION in the
+    tile's chunk list (s·CHUNK + local) so phase 2 can find its chunk.
+
+    Phase 2 — interpolation: re-walk the chunk list, DMA only chunks that
+    won at least one pixel, and resolve the winner's full shading record
+    from VMEM via lane-wise ``dynamic_gather`` LUT lookups (the TPU has no
+    per-pixel HBM gather; XLA-level row gathers cost ~11 ns/row beyond
+    VMEM, which at 1080p is ~23 ms/gather — this kernel replaces the
+    per-pixel record gather of ops/interpolate.py entirely).
+    Barycentrics are recomputed here from the LUT'd edge rows, keeping the
+    phase-1 tournament payload minimal.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile_id = i * tiles_x + j
+
+    list_dma = pltpu.make_async_copy(lists_hbm.at[tile_id], list_smem,
+                                     list_sem)
+    list_dma.start()
+
+    z_ref[:] = jnp.ones_like(z_ref)
+    cand_ref[:] = jnp.full_like(cand_ref, -1)
+
+    list_dma.wait()
+    count = list_smem[0, 0]
+
+    def get_cid(s):
+        t = s + 1
+        return list_smem[t // 128, t % 128]
+
+    def dma(slot, cid):
+        return pltpu.make_async_copy(setup_hbm.at[cid], chunk_buf.at[slot],
+                                     sem.at[slot])
+
+    for w in range(NBUF - 1):
+        @pl.when(w < count)
+        def _(w=w):
+            dma(w % NBUF, get_cid(w)).start()
+
+    tx0f = (j * tile_w).astype(jnp.float32)
+    ty0f = (i * tile_h).astype(jnp.float32)
+    X = tx0f + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    Y = ty0f + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+
+    def eval_subbatch(rows, s, b):
+        def lin(c0, c1, c2):
+            return (rows[:, c0][:, None, None] * X[None]
+                    + rows[:, c1][:, None, None] * Y[None]
+                    + rows[:, c2][:, None, None])
+
+        l0 = lin(0, 1, 2)
+        l1 = lin(3, 4, 5)
+        l2 = lin(6, 7, 8)
+        zw = lin(9, 10, 11)
+        ww = lin(12, 13, 14)
+
+        inside = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+        covered = inside & (ww > 0.0) & (zw >= 0.0) & (zw <= ww)
+        if wireframe:
+            def edist(l, c0, c1):
+                g = jax.lax.rsqrt(rows[:, c0] ** 2 + rows[:, c1] ** 2
+                                  + 1e-30)
+                return l * g[:, None, None]
+            d = jnp.minimum(jnp.minimum(edist(l0, 0, 1), edist(l1, 3, 4)),
+                            edist(l2, 6, 7))
+            covered = covered & (d <= wire_thresh)
+
+        zw_c = jnp.where(covered, zw, 1.0)
+        ww_c = jnp.where(covered, ww, 0.0)
+        entries = [(zw_c[k], ww_c[k], jnp.full_like(zw_c[k], float(k)))
+                   for k in range(SUBBATCH)]
+
+        def merge(a, bt):
+            take_b = bt[0] * a[1] < a[0] * bt[1]
+            return tuple(jnp.where(take_b, fb, fa)
+                         for fa, fb in zip(a, bt))
+
+        while len(entries) > 1:
+            entries = [merge(entries[k], entries[k + 1])
+                       for k in range(0, len(entries), 2)]
+        win = entries[0]
+
+        wvalid = win[1] > 0.0
+        z = win[0] / jnp.where(wvalid, win[1], 1.0)
+        hit = wvalid & (z < z_ref[:])
+        z_ref[:] = jnp.where(hit, z, z_ref[:])
+        local = b * SUBBATCH + win[2].astype(jnp.int32)
+        cand_ref[:] = jnp.where(hit, s * CHUNK_SIZE + local, cand_ref[:])
+
+    def chunk_body(s, _):
+        slot = s % NBUF
+
+        @pl.when(s + NBUF - 1 < count)
+        def _():
+            dma((s + NBUF - 1) % NBUF, get_cid(s + NBUF - 1)).start()
+
+        dma(slot, get_cid(s)).wait()
+        chunk = chunk_buf[slot]
+        for b in range(CHUNK_SIZE // SUBBATCH):
+            rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
+            overlap = ((rows[:, NS + 0] < tx0f + tile_w)
+                       & (rows[:, NS + 2] > tx0f)
+                       & (rows[:, NS + 1] < ty0f + tile_h)
+                       & (rows[:, NS + 3] > ty0f))
+
+            @pl.when(overlap.any())
+            def _(rows=rows, s=s, b=b):
+                eval_subbatch(rows, s, b)
+        return 0
+
+    jax.lax.fori_loop(0, count, chunk_body, 0)
+
+    # ---- phase 2: winner-chunk record interpolation ----
+    for c in range(USED):
+        vary_ref[c] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    mat_ref[:] = jnp.zeros_like(mat_ref)
+    tw_ref[:] = jnp.ones_like(tw_ref)
+    th_ref[:] = jnp.ones_like(th_ref)
+    base_ref[:] = jnp.zeros_like(base_ref)
+    tid_ref[:] = jnp.full_like(tid_ref, -1)
+
+    cand = cand_ref[:]
+    win_s = cand // CHUNK_SIZE            # -1 stays -1 (floor division)
+
+    def interp_body(s, _):
+        mask = win_s == s
+
+        @pl.when(mask.any())
+        def _():
+            d = dma(0, get_cid(s))
+            d.start()
+            local = jnp.where(mask, cand - s * CHUNK_SIZE, 0)
+            d.wait()
+            chunk = chunk_buf[0]          # (CHUNK_SIZE, 128)
+            padded = jnp.concatenate(
+                [chunk, jnp.zeros((128 - CHUNK_SIZE, 128), jnp.float32)])
+            ct = padded.T                  # (128 lanes->tri slots) per row
+
+            def g(c):
+                lut = jnp.broadcast_to(ct[c][None, :], (tile_h, tile_w))
+                return jnp.take_along_axis(lut, local, axis=1)
+
+            l0 = g(0) * X + g(1) * Y + g(2)
+            l1 = g(3) * X + g(4) * Y + g(5)
+            l2 = g(6) * X + g(7) * Y + g(8)
+            lsum = l0 + l1 + l2
+            lsafe = jnp.where(lsum != 0.0, lsum, 1e-30)
+            w1 = l1 / lsafe
+            w2 = l2 / lsafe
+
+            for c in range(USED):
+                v0 = g(REC0 + c)
+                v1 = g(REC0 + USED + c)
+                v2 = g(REC0 + 2 * USED + c)
+                val = v0 + (v1 - v0) * w1 + (v2 - v0) * w2
+                vary_ref[c] = jnp.where(mask, val, vary_ref[c])
+
+            mat_ref[:] = jnp.where(mask, g(PAR0).astype(jnp.int32),
+                                   mat_ref[:])
+            tw_ref[:] = jnp.where(mask, g(PAR0 + 1).astype(jnp.int32),
+                                  tw_ref[:])
+            th_ref[:] = jnp.where(mask, g(PAR0 + 2).astype(jnp.int32),
+                                  th_ref[:])
+            base = (g(PAR0 + 3).astype(jnp.int32) * 65536
+                    + g(PAR0 + 4).astype(jnp.int32))
+            base_ref[:] = jnp.where(mask, base, base_ref[:])
+            tid_ref[:] = jnp.where(mask, get_cid(s) * CHUNK_SIZE + local,
+                                   tid_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, count, interp_body, 0)
+
+
+def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
+               tile_h: int, tiles_x: int, tiles_y: int, wireframe: bool,
+               wire_thresh: float):
+    ph, pw = tiles_y * tile_h, tiles_x * tile_w
+    kernel = functools.partial(
+        _fused_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
+        wireframe=wireframe, wire_thresh=wire_thresh)
+
+    plane_f = jax.ShapeDtypeStruct((ph, pw), jnp.float32)
+    plane_i = jax.ShapeDtypeStruct((ph, pw), jnp.int32)
+    bspec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j))
+    vspec = pl.BlockSpec((USED, tile_h, tile_w), lambda i, j: (0, i, j))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(tiles_y, tiles_x),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[bspec, vspec] + [bspec] * 5,
+        out_shape=[plane_f,
+                   jax.ShapeDtypeStruct((USED, ph, pw), jnp.float32),
+                   plane_i, plane_i, plane_i, plane_i, plane_i],
+        scratch_shapes=[
+            pltpu.SMEM((8, 128), jnp.int32),
+            pltpu.VMEM((NBUF, CHUNK_SIZE, 128), jnp.float32),
+            pltpu.VMEM((tile_h, tile_w), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+        interpret=_interpret(),
+    )(bins.packed, setup_c)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "wireframe"))
+def rasterize_pixels(st: TriangleSetup, records: Array,
+                     config: RenderConfig,
+                     wireframe: bool = False) -> PixelBuffer:
+    """Fused visibility raster + record interpolation (one Pallas launch).
+
+    ``records``: (T, 3·USED+5) per-triangle shading records from
+    ops/interpolate.build_tri_records.  Returns the same PixelBuffer the
+    XLA path (rasterize_xla → interpolate) produces, so shading and tests
+    are backend-agnostic from here on.
+    """
+    cfg = config
+    bins = binning.bin_chunks(
+        st.bbox, cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h,
+        cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
+        cfg.max_global_chunks)
+    C = st.setup.shape[0] // CHUNK_SIZE
+    setup_c = jnp.pad(st.setup.reshape(C, CHUNK_SIZE, NS),
+                      ((0, 0), (0, 0), (0, 128 - NS)))
+    setup_c = setup_c.at[:, :, NS:NS + 4].set(
+        st.bbox.reshape(C, CHUNK_SIZE, 4))
+    setup_c = setup_c.at[:, :, REC0:REC0 + REC_LANES].set(
+        records.reshape(C, CHUNK_SIZE, REC_LANES))
+
+    z, vary, mat, tw, th, base, tid = _run_fused(
+        setup_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, cfg.tiles_y,
+        wireframe, cfg.wire_thresh_px)
+    H, W = cfg.height, cfg.width
+    return PixelBuffer(varyings=vary[:, :H, :W], mat_id=mat[:H, :W],
+                       tex_w=tw[:H, :W], tex_h=th[:H, :W],
+                       tex_base=base[:H, :W], mask=tid[:H, :W] >= 0,
+                       z=z[:H, :W])
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -42,15 +42,27 @@ class FrameOutputs(NamedTuple):
     shadow: Array  # (shadow_dim, shadow_dim) f32 (all-ones when pass skipped)
 
 
-def _rasterize(st, cfg: RenderConfig, wireframe: bool):
-    """Raster backend dispatch.  The Pallas tile kernel handles big scenes
-    on TPU; the XLA brute-force path is the oracle/CPU fallback."""
+def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
+                        wireframe: bool):
+    """Raster + varying interpolation; both backends return a PixelBuffer.
+
+    Pallas (TPU): one fused kernel — visibility tournament + in-VMEM
+    record LUT resolution (ops/raster_pallas.rasterize_pixels), avoiding
+    any per-pixel HBM record gather.  XLA (oracle/CPU): brute-force raster
+    then the gather-based interpolate."""
+    from kanirenderer_tpu.ops.interpolate import build_tri_records
     if cfg.raster_backend == "pallas":
         from kanirenderer_tpu.ops import raster_pallas
-        return raster_pallas.rasterize(st, cfg, wireframe=wireframe)
-    return raster_xla.rasterize_xla(
+        records = build_tri_records(scene.tri_idx, scene.tri_mat,
+                                    vout.varyings, scene.mat_row_base,
+                                    scene.mat_tex_size)
+        return raster_pallas.rasterize_pixels(st, records, cfg,
+                                              wireframe=wireframe)
+    vis = raster_xla.rasterize_xla(
         st.setup, cfg.width, cfg.height, wireframe=wireframe,
         wire_thresh=cfg.wire_thresh_px)
+    return interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings,
+                       scene.mat_row_base, scene.mat_tex_size)
 
 
 def _rasterize_depth(st, cfg: RenderConfig):
@@ -157,14 +169,12 @@ def render_frame(scene: Scene, state: FrameState,
     else:
         shadow_emit = None  # statically external
 
-    # --- main raster ---
+    # --- main raster + varying interpolation ---
     wireframe = mode == RenderMode.WIREFRAME
     setup = triangle_setup(vout.clip, scene.tri_idx, scene.tri_valid,
                            cfg.width, cfg.height,
                            cull_backfaces=not wireframe)
-    vis = _rasterize(setup, cfg, wireframe=wireframe)
-    pix = interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings,
-                      scene.mat_row_base, scene.mat_tex_size)
+    pix = _raster_interpolate(scene, vout, setup, cfg, wireframe)
 
     # --- shading (channel-planar: color is (3, H, W)) ---
     if mode == RenderMode.UNLIT:
@@ -196,7 +206,7 @@ def render_frame(scene: Scene, state: FrameState,
         if cfg.debug_texture == DebugTexture.SHADOW_MAP:
             dbg_tex = shadow_map
         else:
-            dbg_tex = vis.z
+            dbg_tex = pix.z
         image = overlay.debug_texture_quad(image, dbg_tex, cfg.znear, cfg.zfar)
         image = overlay.frame_time_graph(image, state.frame_times_ms)
 
@@ -214,7 +224,7 @@ def render_frame(scene: Scene, state: FrameState,
         shadow_out = jnp.zeros((1, 1), jnp.float32)
     else:
         shadow_out = shadow_emit
-    return FrameOutputs(image=image, depth=vis.z, shadow=shadow_out)
+    return FrameOutputs(image=image, depth=pix.z, shadow=shadow_out)
 
 
 def linearize_depth(depth: Array, znear: float, zfar: float) -> Array:

@@ -77,10 +77,11 @@ class Scene(NamedTuple):
     # --- materials / textures ---
     # One fused texel-row table holds BOTH textures' bilinear footprints:
     # row r = the 2×2 Repeat-wrapped neighborhood of texel (x, y) of a
-    # material, channels [d00 d10 d01 d11 n00 n10 n01 n11] × RGB = 24 f32.
-    # A single per-pixel row gather yields everything bilinear filtering
-    # needs (TPU gathers cost per ROW, independent of width).
-    tex_rows: Array       # (R, 24) f32; diffuse linear (sRGB pre-decoded)
+    # material, channels [d00 d10 d01 d11 n00 n10 n01 n11] × RGB = 24
+    # bf16 (halving the table keeps the TPU row-gather on its fast path;
+    # filtering accumulates in f32 — see ops/sampling.py).  A single
+    # per-pixel row gather yields everything bilinear filtering needs.
+    tex_rows: Array       # (R, 24) bf16; diffuse linear (sRGB pre-decoded)
     mat_row_base: Array   # (M,) i32 first row of each material's texture
     mat_tex_size: Array   # (M, 2) i32 (w, h) texels (normal maps are
     #                       resampled to the diffuse resolution at load)

@@ -1,34 +1,57 @@
 """Gather-based texture sampling — one row gather per sampled surface.
 
-TPU gathers cost ~constant per ROW independent of row width (measured on
-v5e), so every sampler here is built around a single wide row gather:
+TPU row gathers have a fast path (hundreds of Mrows/s, measured on v5e)
+when the table is small enough to stage near the core and the consumer
+reduces the gathered lanes pointwise; a transpose consumer or an
+over-large table falls to ~90 Mrows/s.  Every sampler here is therefore
+built as ONE wide row gather followed by lane-space multiply-reduce math
+(never a transpose of the gathered array):
 
-* ``sample_materials_fused`` — diffuse + normal-map bilinear filtering with
-  Repeat addressing from the fused texel-row table (core/types.Scene
-  .tex_rows): each row already holds both textures' 2×2 wrapped
-  neighborhoods, so filtering is ONE gather + planar lerps.  Matches the
-  material sampler state (reference src/texture.rs:162-173).
-* ``build_shadow_rows`` / ``sample_shadow_pcf_fused`` — the 3×3 PCF kernel
-  of comparison taps (reference src/lib.rs:760-767, src/shader.wgsl:140-159)
-  via one row gather of the 4×4 texel footprint, then 16 compares + 9
-  bilinear blends as dense planar math.  Clamp-to-edge addressing (wgpu
-  sampler default).
+* ``sample_materials_fused`` — diffuse + normal-map bilinear filtering
+  with Repeat addressing from the fused texel-row table
+  (core/types.Scene.tex_rows, bf16): each row already holds both
+  textures' 2×2 wrapped neighborhoods, so filtering is one gather + 24
+  lane-sliced madds.  Matches the material sampler state (reference
+  src/texture.rs:162-173).
+* ``build_shadow_table`` / ``sample_shadow_pcf`` — the 3×3 PCF kernel of
+  comparison taps (reference src/lib.rs:760-767, src/shader.wgsl:140-159)
+  from an 8×8-block window table: row b = the clamp-padded 11×11 texel
+  window of shadow block b, so a pixel's whole 4×4 PCF footprint lives in
+  one gathered row.  Tap extraction needs no per-pixel gather because the
+  nine bilinear taps have separable weights:
+      PCF = (1/9) · wyᵀ C wx,  wy = [1-fy, 1, 1, fy] (same for x),
+  which becomes a weighted lane reduction over the window.  Clamp-to-edge
+  addressing (wgpu sampler default).  f32 — bit-identical to per-tap math.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax.numpy as jnp
 
 Array = jnp.ndarray
 
+# Shadow block-window geometry: 8×8 texel blocks, 11×11 window (one texel
+# apron left/top for the PCF -1 offset, two right/bottom for +2).
+_B = 8
+_WIN = _B + 3
+_LANE_ROW = jnp.asarray(np.minimum(np.arange(128) // _WIN, _WIN - 1),
+                        jnp.int32)
+_LANE_COL = jnp.asarray(np.arange(128) % _WIN, jnp.int32)
+
 
 def sample_materials_fused(tex_rows: Array, base: Array, tw: Array,
                            th: Array, u: Array,
                            v: Array) -> tuple[Array, Array]:
-    """Returns (diffuse (3,H,W) linear, normal (3,H,W) raw).
+    """Returns (diffuse (3,H,W) linear f32, normal (3,H,W) raw f32).
 
     base/tw/th are per-pixel (H, W) i32 planes taken from the triangle
-    records — no per-pixel parameter gathers happen here."""
+    records — no per-pixel parameter gathers happen here.  The gathered
+    rows are consumed by lane-sliced blends (per output channel a 4-term
+    weighted sum over the 2×2 footprint), never transposed, so the gather
+    stays on the fast path; accumulation is f32 regardless of the table
+    dtype (bf16 in the packed Scene)."""
     tx = u * tw.astype(jnp.float32) - 0.5
     ty = v * th.astype(jnp.float32) - 0.5
     x0 = jnp.floor(tx)
@@ -39,34 +62,49 @@ def sample_materials_fused(tex_rows: Array, base: Array, tw: Array,
     y0i = jnp.mod(y0.astype(jnp.int32), th)
 
     rec = jnp.take(tex_rows, base + y0i * tw + x0i, axis=0)  # (H, W, 24)
-    r = jnp.transpose(rec, (2, 0, 1))                        # (24, H, W)
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = fx * (1.0 - fy)
+    w01 = (1.0 - fx) * fy
+    w11 = fx * fy
+    ws = (w00, w10, w01, w11)
 
-    def bilerp(o):
-        c00 = r[o:o + 3]
-        c10 = r[o + 3:o + 6]
-        c01 = r[o + 6:o + 9]
-        c11 = r[o + 9:o + 12]
-        top = c00 + (c10 - c00) * fx[None]
-        bot = c01 + (c11 - c01) * fx[None]
-        return top + (bot - top) * fy[None]
+    def tex(o):
+        return jnp.stack([
+            sum(rec[..., o + k * 3 + ch].astype(jnp.float32) * ws[k]
+                for k in range(4))
+            for ch in range(3)])
 
-    return bilerp(0), bilerp(12)
+    return tex(0), tex(12)
 
 
-def build_shadow_rows(shadow_map: Array) -> Array:
-    """(D, D) shadow map → (D², 16) rows of 4×4 clamp-padded neighborhoods
-    anchored at (x−1, y−1).  Rebuilt per shadow render — a cheap dense op."""
+def build_shadow_table(shadow_map: Array) -> Array:
+    """(D, D) shadow map → ((D/8)², 128) f32 block-window table.
+
+    Row (by·NB + bx) holds the clamp-padded 11×11 window anchored at
+    texel (8bx−1, 8by−1), flattened row-major into lanes 0..120 (lanes
+    121..127 are zero padding).  Built purely from reshapes and
+    concatenations of aligned slices (no strided slices — those cost
+    ~80 ms at 2048² on v5e; this form is free)."""
     D = shadow_map.shape[0]
-    padded = jnp.pad(shadow_map, ((1, 2), (1, 2)), mode="edge")
-    shifts = [padded[dy:dy + D, dx:dx + D]
-              for dy in range(4) for dx in range(4)]
-    return jnp.stack(shifts, axis=-1).reshape(D * D, 16)
+    assert D % _B == 0, "shadow_dim must be a multiple of 8"
+    nb = D // _B
+    padded = jnp.pad(shadow_map, ((1, _B), (1, _B)), mode="edge")
+    # rows: aligned 8-row groups + the next group's first 3 rows
+    a = padded[:D + _B].reshape(nb + 1, _B, D + _B + 1)
+    w1 = jnp.concatenate([a[:-1], a[1:, :3]], axis=1)      # (nb, 11, D+9)
+    # columns: same split along x
+    c = w1[:, :, :D + _B].reshape(nb, _WIN, nb + 1, _B)
+    w2 = jnp.concatenate([c[:, :, :-1], c[:, :, 1:, :3]], axis=3)
+    t = w2.transpose(0, 2, 1, 3).reshape(nb * nb, _WIN * _WIN)
+    return jnp.pad(t, ((0, 0), (0, 128 - _WIN * _WIN)))
 
 
-def sample_shadow_pcf_fused(shadow_rows: Array, dim: int, u: Array, v: Array,
-                            depth: Array) -> Array:
-    """3×3 PCF average of hardware-style comparison taps — one row gather."""
+def sample_shadow_pcf(shadow_table: Array, dim: int, u: Array, v: Array,
+                      depth: Array) -> Array:
+    """3×3 PCF average of hardware-style comparison taps — one block-row
+    gather + a separable-weight lane reduction (see module docstring)."""
     D = dim
+    nb = D // _B
     tx = u * D - 0.5
     ty = v * D - 0.5
     x0 = jnp.floor(tx)
@@ -75,21 +113,23 @@ def sample_shadow_pcf_fused(shadow_rows: Array, dim: int, u: Array, v: Array,
     fy = ty - y0
     x0i = jnp.clip(x0.astype(jnp.int32), 0, D - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, D - 1)
+    blk = (y0i >> 3) * nb + (x0i >> 3)
+    ly = y0i & (_B - 1)
+    lx = x0i & (_B - 1)
 
-    rec = jnp.take(shadow_rows, y0i * D + x0i, axis=0)       # (H, W, 16)
-    r = jnp.transpose(rec, (2, 0, 1))                        # (16, H, W)
+    win = jnp.take(shadow_table, blk, axis=0)            # (H, W, 128)
+    cmp = (depth[..., None] <= win.astype(jnp.float32)).astype(jnp.float32)
 
-    # comparison planes for the whole 4×4 footprint
-    c = [(depth <= r[k]).astype(jnp.float32) for k in range(16)]
-
-    acc = 0.0
-    for oy in range(3):          # tap offsets -1..1 → footprint rows 0..3
-        for ox in range(3):
-            c00 = c[oy * 4 + ox]
-            c10 = c[oy * 4 + ox + 1]
-            c01 = c[(oy + 1) * 4 + ox]
-            c11 = c[(oy + 1) * 4 + ox + 1]
-            top = c00 + (c10 - c00) * fx
-            bot = c01 + (c11 - c01) * fx
-            acc = acc + top + (bot - top) * fy
-    return acc / 9.0
+    # Separable footprint weights over window lanes: a tap at window
+    # offset (dy, dx) ∈ [0,4)² from the anchor (ly, lx) carries weight
+    # wy[dy]·wx[dx] with wy = [1−fy, 1, 1, fy] — the row/col sums of the
+    # nine bilinear kernels.
+    dyv = _LANE_ROW[None, None, :] - ly[..., None]
+    dxv = _LANE_COL[None, None, :] - lx[..., None]
+    wy = (jnp.where(dyv == 0, 1.0 - fy[..., None], 0.0)
+          + ((dyv == 1) | (dyv == 2)).astype(jnp.float32)
+          + jnp.where(dyv == 3, fy[..., None], 0.0))
+    wx = (jnp.where(dxv == 0, 1.0 - fx[..., None], 0.0)
+          + ((dxv == 1) | (dxv == 2)).astype(jnp.float32)
+          + jnp.where(dxv == 3, fx[..., None], 0.0))
+    return (cmp * wy * wx).sum(-1) / 9.0

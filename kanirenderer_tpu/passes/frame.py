@@ -28,7 +28,7 @@ from kanirenderer_tpu.core.types import (DebugTexture, FrameState,
                                          RenderConfig, RenderMode, Scene)
 from kanirenderer_tpu.ops import raster_xla
 from kanirenderer_tpu.ops.interpolate import interpolate
-from kanirenderer_tpu.ops.sampling import build_shadow_rows
+from kanirenderer_tpu.ops.sampling import build_shadow_table
 from kanirenderer_tpu.ops.vertex import run_vertex_stage, triangle_setup
 from kanirenderer_tpu.passes import overlay
 from kanirenderer_tpu.shade import forward
@@ -43,13 +43,17 @@ class FrameOutputs(NamedTuple):
 
 
 def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
-                        wireframe: bool):
+                        wireframe: bool, band_h: int | None = None,
+                        y0=None):
     """Raster + varying interpolation; both backends return a PixelBuffer.
 
     Pallas (TPU): one fused kernel — visibility tournament + in-VMEM
     record LUT resolution (ops/raster_pallas.rasterize_pixels), avoiding
     any per-pixel HBM record gather.  XLA (oracle/CPU): brute-force raster
-    then the gather-based interpolate."""
+    then the gather-based interpolate.
+
+    ``band_h``/``y0`` restrict output to screen rows [y0, y0+band_h) for
+    the multi-chip row-band sharding path (parallel/mesh.py)."""
     from kanirenderer_tpu.ops.interpolate import build_tri_records
     if cfg.raster_backend == "pallas":
         from kanirenderer_tpu.ops import raster_pallas
@@ -57,10 +61,12 @@ def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
                                     vout.varyings, scene.mat_row_base,
                                     scene.mat_tex_size)
         return raster_pallas.rasterize_pixels(st, records, cfg,
-                                              wireframe=wireframe)
+                                              wireframe=wireframe,
+                                              band_h=band_h, y0=y0)
     vis = raster_xla.rasterize_xla(
-        st.setup, cfg.width, cfg.height, wireframe=wireframe,
-        wire_thresh=cfg.wire_thresh_px)
+        st.setup, cfg.width, cfg.height if band_h is None else band_h,
+        wireframe=wireframe, wire_thresh=cfg.wire_thresh_px,
+        y_offset=0.0 if y0 is None else y0)
     return interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings,
                        scene.mat_row_base, scene.mat_tex_size)
 
@@ -99,24 +105,28 @@ def render_shadow_map(scene: Scene, state: FrameState,
     return _rasterize_depth(sh_setup, cfg)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def render_frame(scene: Scene, state: FrameState,
-                 config: RenderConfig,
-                 shadow_map: Array | None = None,
-                 use_cached_shadow: Array | None = None) -> FrameOutputs:
-    """Render one frame.
+def render_band(scene: Scene, state: FrameState,
+                config: RenderConfig,
+                shadow_map: Array | None = None,
+                use_cached_shadow: Array | None = None,
+                *, band_h: int | None = None, y0=None) -> FrameOutputs:
+    """The frame pipeline body, optionally restricted to a row band.
 
-    Shadow-map caching (steady-state interactive behavior; the reference
-    re-renders per frame, src/lib.rs:1721): pass the cached map as
-    ``shadow_map`` plus a traced bool ``use_cached_shadow``.  The shadow
-    raster is then skipped via ``lax.cond`` *inside the same executable* —
-    crucial on this runtime, where alternating between two distinct
-    heavyweight executables with changing inputs corrupts device state
-    (see docs/PERFORMANCE.md).  With ``use_cached_shadow`` None the map is
-    statically external (legacy two-executable path, used by tests).
+    This is the ONE implementation of the per-frame pass sequence; both
+    ``render_frame`` (full screen, jitted) and the multi-chip
+    ``parallel.mesh.render_frame_sharded`` (one band per chip under
+    shard_map) call it, so the pipelines cannot drift apart — mirroring
+    how the reference's render-mode switch exists exactly once
+    (src/lib.rs:1754-1862).
+
+    ``band_h`` (static) / ``y0`` (traced, from ``lax.axis_index``) select
+    screen rows [y0, y0+band_h).  Banded rendering skips the DEBUG-mode
+    overlay composites (they anchor to absolute screen corners with
+    static slices); DEBUG shading itself still works.
     """
     cfg = config
     mode = cfg.mode
+    banded = band_h is not None
 
     # --- per-frame uniform math (≈ State::update, src/lib.rs:1382-1704) ---
     proj = math3d.perspective(jnp.deg2rad(cfg.fovy_deg), cfg.aspect,
@@ -174,7 +184,8 @@ def render_frame(scene: Scene, state: FrameState,
     setup = triangle_setup(vout.clip, scene.tri_idx, scene.tri_valid,
                            cfg.width, cfg.height,
                            cull_backfaces=not wireframe)
-    pix = _raster_interpolate(scene, vout, setup, cfg, wireframe)
+    pix = _raster_interpolate(scene, vout, setup, cfg, wireframe,
+                              band_h=band_h, y0=y0)
 
     # --- shading (channel-planar: color is (3, H, W)) ---
     if mode == RenderMode.UNLIT:
@@ -186,15 +197,15 @@ def render_frame(scene: Scene, state: FrameState,
         # (shade/deferred.py; the reference's stubbed design realized).
         from kanirenderer_tpu.shade import deferred as deferred_mod
         gbuf = deferred_mod.write_gbuffer(scene, pix, state.camera.position)
-        srows = build_shadow_rows(shadow_map) \
+        srows = build_shadow_table(shadow_map) \
             if mode in (RenderMode.LIT_SHADOW, RenderMode.DEBUG) else None
         color = deferred_mod.deferred_lighting(gbuf, state.lights, srows,
                                                cfg.hdr, cfg.shadow_dim)
     elif mode == RenderMode.LIT:
         color = forward.shade_lit(scene, pix, state.lights, None, cfg.hdr)
     else:  # LIT_SHADOW or DEBUG
-        shadow_rows = build_shadow_rows(shadow_map)
-        color = forward.shade_lit(scene, pix, state.lights, shadow_rows,
+        shadow_tbl = build_shadow_table(shadow_map)
+        color = forward.shade_lit(scene, pix, state.lights, shadow_tbl,
                                   cfg.hdr, cfg.shadow_dim)
 
     clear = jnp.asarray(cfg.clear_color, jnp.float32)[:, None, None]
@@ -202,7 +213,7 @@ def render_frame(scene: Scene, state: FrameState,
     image = jnp.transpose(image, (1, 2, 0))  # → (H, W, 3) for output
 
     # --- debug overlays (src/lib.rs:1865-1914) ---
-    if mode == RenderMode.DEBUG:
+    if mode == RenderMode.DEBUG and not banded:
         if cfg.debug_texture == DebugTexture.SHADOW_MAP:
             dbg_tex = shadow_map
         else:
@@ -225,6 +236,25 @@ def render_frame(scene: Scene, state: FrameState,
     else:
         shadow_out = shadow_emit
     return FrameOutputs(image=image, depth=pix.z, shadow=shadow_out)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def render_frame(scene: Scene, state: FrameState,
+                 config: RenderConfig,
+                 shadow_map: Array | None = None,
+                 use_cached_shadow: Array | None = None) -> FrameOutputs:
+    """Render one full frame (jitted; one executable per static config).
+
+    Shadow-map caching (steady-state interactive behavior; the reference
+    re-renders per frame, src/lib.rs:1721): pass the cached map as
+    ``shadow_map`` plus a traced bool ``use_cached_shadow``.  The shadow
+    raster is then skipped via ``lax.cond`` *inside the same executable* —
+    crucial on this runtime, where alternating between two distinct
+    heavyweight executables with changing inputs corrupts device state
+    (see docs/PERFORMANCE.md).  With ``use_cached_shadow`` None the map is
+    statically external (legacy two-executable path, used by tests).
+    """
+    return render_band(scene, state, config, shadow_map, use_cached_shadow)
 
 
 def linearize_depth(depth: Array, znear: float, zfar: float) -> Array:

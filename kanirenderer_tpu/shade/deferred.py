@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from kanirenderer_tpu.core.color import aces_tonemap, reinhard_tonemap
 from kanirenderer_tpu.core.types import Lights, Scene
 from kanirenderer_tpu.ops.interpolate import PixelBuffer
-from kanirenderer_tpu.ops.sampling import sample_shadow_pcf_fused
+from kanirenderer_tpu.ops.sampling import sample_shadow_pcf
 from kanirenderer_tpu.shade import forward
 
 Array = jnp.ndarray
@@ -96,7 +96,7 @@ def write_gbuffer(scene: Scene, pix: PixelBuffer,
 
 
 def deferred_lighting(gbuf: GBuffer, lights: Lights,
-                      shadow_rows: Array | None, hdr: bool,
+                      shadow_table: Array | None, hdr: bool,
                       shadow_dim: int = 0) -> Array:
     """Fullscreen lighting over the G-buffer (fragmentDeferredRendering).
 
@@ -129,10 +129,10 @@ def deferred_lighting(gbuf: GBuffer, lights: Lights,
     dl_diff, dl_spec = forward._blinn_phong(n, dl_dir, view_dir,
                                             d.color[:, None, None])
     dl_term = dl_diff * 10.0 + dl_spec * (10.0 * 0.5)
-    if shadow_rows is not None:
-        sh = sample_shadow_pcf_fused(shadow_rows, shadow_dim,
-                                     gbuf.shadow_uv[0], gbuf.shadow_uv[1],
-                                     gbuf.shadow_uv[2])
+    if shadow_table is not None:
+        sh = sample_shadow_pcf(shadow_table, shadow_dim,
+                               gbuf.shadow_uv[0], gbuf.shadow_uv[1],
+                               gbuf.shadow_uv[2])
         dl_term = dl_term * sh[None]
     acc = acc + dl_term
 

@@ -30,7 +30,7 @@ from kanirenderer_tpu.core.color import aces_tonemap, reinhard_tonemap
 from kanirenderer_tpu.core.types import Lights, Scene
 from kanirenderer_tpu.ops.interpolate import PixelBuffer
 from kanirenderer_tpu.ops.sampling import (sample_materials_fused,
-                                           sample_shadow_pcf_fused)
+                                           sample_shadow_pcf)
 
 Array = jnp.ndarray
 
@@ -97,14 +97,14 @@ def _attenuation(dist: Array, rng: Array) -> Array:
 
 
 def shade_lit(scene: Scene, pix: PixelBuffer, lights: Lights,
-              shadow_rows: Array | None, hdr: bool,
+              shadow_table: Array | None, hdr: bool,
               shadow_dim: int = 0) -> Array:
     """Blinn-Phong forward shading, optionally shadow-modulated.
 
-    shadow_rows None → the Lit pipeline (reference src/lit_shader.wgsl);
+    shadow_table None → the Lit pipeline (reference src/lit_shader.wgsl);
     otherwise LitWithShadow (src/shader.wgsl with Reinhard, or
-    src/shader_hdr.wgsl with ACES when hdr=True); shadow_rows is the
-    (D², 16) PCF footprint table from ops/sampling.build_shadow_rows.
+    src/shader_hdr.wgsl with ACES when hdr=True); shadow_table is the
+    block-window table from ops/sampling.build_shadow_table.
     """
     object_color, object_normal = sample_materials(scene, pix)
     vary = pix.varyings
@@ -137,9 +137,9 @@ def shade_lit(scene: Scene, pix: PixelBuffer, lights: Lights,
     dcol = d.color[:, None, None]
     dl_diff, dl_spec = _blinn_phong(tangent_normal, dl_dir, view_dir, dcol)
     dl_term = dl_diff * 10.0 + dl_spec * (10.0 * 0.5)
-    if shadow_rows is not None:
-        shadow = sample_shadow_pcf_fused(shadow_rows, shadow_dim,
-                                         vary[21], vary[22], vary[23])
+    if shadow_table is not None:
+        shadow = sample_shadow_pcf(shadow_table, shadow_dim,
+                                   vary[21], vary[22], vary[23])
         dl_term = dl_term * shadow[None]
     dl_term = dl_term * object_color
 

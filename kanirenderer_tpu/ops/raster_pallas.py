@@ -495,34 +495,53 @@ def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
     )(bins.packed, setup_c)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "wireframe"))
+@functools.partial(jax.jit,
+                   static_argnames=("config", "wireframe", "band_h"))
 def rasterize_pixels(st: TriangleSetup, records: Array,
                      config: RenderConfig,
-                     wireframe: bool = False) -> PixelBuffer:
+                     wireframe: bool = False,
+                     band_h: int | None = None,
+                     y0: Array | None = None) -> PixelBuffer:
     """Fused visibility raster + record interpolation (one Pallas launch).
 
     ``records``: (T, 3·USED+5) per-triangle shading records from
     ops/interpolate.build_tri_records.  Returns the same PixelBuffer the
     XLA path (rasterize_xla → interpolate) produces, so shading and tests
     are backend-agnostic from here on.
+
+    ``band_h``/``y0``: render only screen rows [y0, y0+band_h) — the
+    multi-chip row-band sharding path (parallel/mesh.py).  ``y0`` may be
+    traced (it derives from ``lax.axis_index`` under shard_map): rather
+    than plumbing it into the kernel, the linear edge/depth equations are
+    re-anchored (c ← c + b·y0) and the bboxes shifted, so the kernel
+    always rasterizes rows [0, band_h).
     """
     cfg = config
+    setup, bbox = st.setup, st.bbox
+    if band_h is None:
+        band_h = cfg.height
+    if y0 is not None:
+        y0f = jnp.asarray(y0, jnp.float32)
+        cols = jnp.array([2, 5, 8, 11, 14])
+        setup = setup.at[:, cols].add(setup[:, cols - 1] * y0f)
+        bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
+    tiles_y = -(-band_h // cfg.tile_h)
     bins = binning.bin_chunks(
-        st.bbox, cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h,
+        bbox, cfg.tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
         cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
         cfg.max_global_chunks)
-    C = st.setup.shape[0] // CHUNK_SIZE
-    setup_c = jnp.pad(st.setup.reshape(C, CHUNK_SIZE, NS),
+    C = setup.shape[0] // CHUNK_SIZE
+    setup_c = jnp.pad(setup.reshape(C, CHUNK_SIZE, NS),
                       ((0, 0), (0, 0), (0, 128 - NS)))
     setup_c = setup_c.at[:, :, NS:NS + 4].set(
-        st.bbox.reshape(C, CHUNK_SIZE, 4))
+        bbox.reshape(C, CHUNK_SIZE, 4))
     setup_c = setup_c.at[:, :, REC0:REC0 + REC_LANES].set(
         records.reshape(C, CHUNK_SIZE, REC_LANES))
 
     z, vary, mat, tw, th, base, tid = _run_fused(
-        setup_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, cfg.tiles_y,
+        setup_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, tiles_y,
         wireframe, cfg.wire_thresh_px)
-    H, W = cfg.height, cfg.width
+    H, W = band_h, cfg.width
     return PixelBuffer(varyings=vary[:, :H, :W], mat_id=mat[:H, :W],
                        tex_w=tw[:H, :W], tex_h=th[:H, :W],
                        tex_base=base[:H, :W], mask=tid[:H, :W] >= 0,

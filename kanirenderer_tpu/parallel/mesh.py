@@ -10,10 +10,14 @@ Design (SURVEY §5.8):
   there is no per-frame scene communication at all;
 * the vertex stage + triangle setup run replicated (cheap, avoids an
   all-gather of clip coordinates over ICI);
-* each chip rasterizes only its rows (the setup's screen bboxes make
-  off-band triangles nearly free) and shades them densely;
+* each chip rasterizes only its rows (`passes/frame.render_band` — the
+  SAME pipeline body the single-chip path jits, so the two cannot drift):
+  the band's tile binning makes off-band triangles nearly free, and every
+  backend (Pallas tile kernel on TPU, XLA oracle elsewhere), render mode,
+  and the deferred pipeline work sharded;
 * the shadow map is computed replicated (identical on every chip —
-  again zero communication, and it is camera-independent);
+  again zero communication, and it is camera-independent); a host-cached
+  map may be passed in exactly like the single-chip path;
 * frame assembly is just the sharded output array: `jax.device_get`
   performs one device→host DMA per band (or leave it sharded for a
   sharded display/encoder).
@@ -21,6 +25,10 @@ Design (SURVEY §5.8):
 Collectives: none per frame.  That is the point — the renderer is
 embarrassingly data-parallel over pixels, so the mesh buys nearly linear
 scaling until the per-chip band becomes overhead-bound.
+
+Limitation: the DEBUG mode's overlay composites (depth quad, frame-time
+graph) anchor to absolute screen corners with static slices and are
+skipped under banding; DEBUG shading itself renders.
 """
 
 from __future__ import annotations
@@ -33,16 +41,10 @@ try:
     from jax import shard_map
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from kanirenderer_tpu.core import math3d
-from kanirenderer_tpu.core.color import linear_to_srgb
-from kanirenderer_tpu.core.types import (FrameState, RenderConfig,
-                                         RenderMode, Scene)
-from kanirenderer_tpu.ops import raster_xla
-from kanirenderer_tpu.ops.interpolate import interpolate
-from kanirenderer_tpu.ops.vertex import run_vertex_stage, triangle_setup
-from kanirenderer_tpu.shade import forward
+from kanirenderer_tpu.core.types import FrameState, RenderConfig, Scene
+from kanirenderer_tpu.passes.frame import FrameOutputs, render_band
 
 Array = jnp.ndarray
 
@@ -53,79 +55,62 @@ def make_mesh(devices=None, axis: str = "rows") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+@partial(jax.jit, static_argnames=("config", "mesh", "axis"))
+def _render_sharded(scene: Scene, state: FrameState, config: RenderConfig,
+                    mesh: Mesh, axis: str,
+                    shadow_map: Array | None) -> FrameOutputs:
+    band_h = config.height // mesh.devices.size
+
+    def band(scene, state, shadow_map):
+        y0 = (jax.lax.axis_index(axis) * band_h).astype(jnp.float32)
+        out = render_band(scene, state, config, shadow_map=shadow_map,
+                          band_h=band_h, y0=y0)
+        return out.image, out.depth
+
+    specs_in = (P(), P(), P())
+    fn = shard_map(band, mesh=mesh, in_specs=specs_in,
+                   out_specs=(P(axis, None, None), P(axis, None)),
+                   check_vma=False)
+    image, depth = fn(scene, state, shadow_map)
+    return FrameOutputs(image=image, depth=depth,
+                        shadow=jnp.zeros((1, 1), jnp.float32))
+
+
 def render_frame_sharded(scene: Scene, state: FrameState,
-                         config: RenderConfig, mesh: Mesh) -> Array:
+                         config: RenderConfig, mesh: Mesh,
+                         shadow_map: Array | None = None) -> FrameOutputs:
     """Render one frame with the framebuffer row-sharded over ``mesh``.
 
-    Returns an (H, W, 3) image sharded over rows.  config.height must be
-    divisible by the mesh size.
+    Returns ``FrameOutputs`` whose image (H, W, 3) and depth (H, W) are
+    sharded over rows.  config.height must be divisible by the mesh size.
+    ``shadow_map``: optional host-cached shadow map (replicated to every
+    chip), same semantics as ``render_frame``'s static-external path.
     """
-    cfg = config
     n = mesh.devices.size
-    assert cfg.height % n == 0, "height must divide across the mesh"
-    band_h = cfg.height // n
+    assert config.height % n == 0, "height must divide across the mesh"
+    axis = mesh.axis_names[0]
+    if shadow_map is None:
+        # Static None must not reach jit as a pytree leaf of changing
+        # structure; the band body treats a 1x1 zeros map as "render fresh"
+        # via the explicit sentinel below.
+        return _render_sharded_fresh(scene, state, config, mesh, axis)
+    return _render_sharded(scene, state, config, mesh, axis, shadow_map)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "axis"))
+def _render_sharded_fresh(scene: Scene, state: FrameState,
+                          config: RenderConfig, mesh: Mesh,
+                          axis: str) -> FrameOutputs:
+    band_h = config.height // mesh.devices.size
 
     def band(scene, state):
-        idx = jax.lax.axis_index("rows")
-        y0 = (idx * band_h).astype(jnp.float32)
+        y0 = (jax.lax.axis_index(axis) * band_h).astype(jnp.float32)
+        out = render_band(scene, state, config, band_h=band_h, y0=y0)
+        return out.image, out.depth
 
-        proj = math3d.perspective(jnp.deg2rad(cfg.fovy_deg), cfg.aspect,
-                                  cfg.znear, cfg.zfar)
-        view = math3d.camera_view_matrix(state.camera.position,
-                                         state.camera.yaw,
-                                         state.camera.pitch)
-        light_vp = math3d.directional_light_view_projection(
-            state.lights.directional.direction,
-            state.lights.directional.distance,
-            state.lights.directional.shadow_scene_size)
-        vp = jnp.matmul(proj, view, precision=jax.lax.Precision.HIGHEST)
-        vout = run_vertex_stage(scene, state.object_model,
-                                state.object_normal, vp,
-                                state.camera.position, state.lights,
-                                light_vp)
-
-        if cfg.mode in (RenderMode.LIT_SHADOW, RenderMode.DEBUG):
-            sh_setup = triangle_setup(
-                vout.light_clip, scene.tri_idx, scene.tri_valid,
-                cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
-                depth_bias_constant=cfg.shadow_bias_constant,
-                depth_bias_slope=cfg.shadow_bias_slope)
-            shadow_map = raster_xla.rasterize_depth_xla(sh_setup.setup,
-                                                        cfg.shadow_dim)
-        else:
-            shadow_map = jnp.ones((cfg.shadow_dim, cfg.shadow_dim),
-                                  jnp.float32)
-
-        wire = cfg.mode == RenderMode.WIREFRAME
-        st = triangle_setup(vout.clip, scene.tri_idx, scene.tri_valid,
-                            cfg.width, cfg.height,
-                            cull_backfaces=not wire)
-        vis = raster_xla.rasterize_xla(st.setup, cfg.width, band_h,
-                                       wireframe=wire,
-                                       wire_thresh=cfg.wire_thresh_px,
-                                       y_offset=y0)
-        pix = interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings,
-                          scene.mat_row_base, scene.mat_tex_size)
-        if cfg.mode == RenderMode.UNLIT:
-            color = forward.shade_unlit(scene, pix)
-        elif cfg.mode == RenderMode.WIREFRAME:
-            color = forward.shade_wireframe(pix)
-        elif cfg.mode == RenderMode.LIT:
-            color = forward.shade_lit(scene, pix, state.lights, None,
-                                      cfg.hdr)
-        else:
-            from kanirenderer_tpu.ops.sampling import build_shadow_rows
-            color = forward.shade_lit(scene, pix, state.lights,
-                                      build_shadow_rows(shadow_map),
-                                      cfg.hdr, cfg.shadow_dim)
-        clear = jnp.asarray(cfg.clear_color, jnp.float32)[:, None, None]
-        img = jnp.where(pix.mask[None], color, clear)
-        img = jnp.transpose(img, (1, 2, 0))
-        if not cfg.hdr:
-            img = linear_to_srgb(img)
-        return jnp.clip(img, 0.0, 1.0)
-
-    fn = shard_map(band, mesh=mesh,
-                   in_specs=(P(), P()),
-                   out_specs=P("rows", None, None))
-    return fn(scene, state)
+    fn = shard_map(band, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=(P(axis, None, None), P(axis, None)),
+                   check_vma=False)
+    image, depth = fn(scene, state)
+    return FrameOutputs(image=image, depth=depth,
+                        shadow=jnp.zeros((1, 1), jnp.float32))

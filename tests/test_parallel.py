@@ -1,13 +1,22 @@
-"""Multi-chip row-band sharding on the 8-device virtual CPU mesh."""
+"""Multi-chip row-band sharding on the 8-device virtual CPU mesh.
+
+The sharded path calls the same ``render_band`` body as the single-chip
+``render_frame`` (VERDICT round-1 item #3), so these tests assert exact
+pixel equality between the two for every major configuration: LIT,
+LIT_SHADOW (shadow rendering is replicated per chip, so equality is
+exact), the deferred pipeline, the Pallas raster backend (interpret mode
+on CPU), and the host-cached external shadow map.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import kanirenderer_tpu as kani
 from kanirenderer_tpu.models.procedural import cube_scene
 from kanirenderer_tpu.parallel.mesh import make_mesh, render_frame_sharded
-from kanirenderer_tpu.passes.frame import render_frame
+from kanirenderer_tpu.passes.frame import render_frame, render_shadow_map
 
 CAM = kani.CameraState(
     position=jnp.array([60.0, 45.0, 80.0], jnp.float32),
@@ -15,32 +24,60 @@ CAM = kani.CameraState(
     pitch=jnp.float32(np.deg2rad(-20.0)))
 
 
-pytestmark = __import__("pytest").mark.skipif(
+pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8,
     reason="needs the 8-device virtual CPU mesh (jax was initialized on "
            "another backend before conftest could force it)")
 
 
-def test_sharded_matches_single_device():
+def _setup(**cfg_kw):
     scene = cube_scene()
     lights = kani.default_lights()
     state = kani.frame_state(scene, CAM, lights)
-    cfg = kani.RenderConfig(width=128, height=96, mode=kani.RenderMode.LIT,
-                            shadow_dim=128)
+    cfg = kani.RenderConfig(width=128, height=96, shadow_dim=128, **cfg_kw)
+    return scene, state, cfg
+
+
+def _assert_sharded_matches(scene, state, cfg, **kw):
     mesh = make_mesh()
+    out_sh = render_frame_sharded(scene, state, cfg, mesh, **kw)
+    out_one = render_frame(scene, state, cfg, **kw)
+    np.testing.assert_allclose(np.asarray(out_sh.image),
+                               np.asarray(out_one.image), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_sh.depth),
+                               np.asarray(out_one.depth), atol=2e-5)
 
-    img_sharded = np.asarray(render_frame_sharded(scene, state, cfg, mesh))
-    img_single = np.asarray(render_frame(scene, state, cfg).image)
-    np.testing.assert_allclose(img_sharded, img_single, atol=2e-5)
+
+def test_sharded_matches_single_device_lit():
+    scene, state, cfg = _setup(mode=kani.RenderMode.LIT)
+    _assert_sharded_matches(scene, state, cfg)
 
 
-def test_sharded_lit_shadow_runs():
-    scene = cube_scene()
-    lights = kani.default_lights()
-    state = kani.frame_state(scene, CAM, lights)
-    cfg = kani.RenderConfig(width=128, height=96,
-                            mode=kani.RenderMode.LIT_SHADOW, shadow_dim=128)
-    mesh = make_mesh()
-    img = np.asarray(render_frame_sharded(scene, state, cfg, mesh))
-    assert np.isfinite(img).all()
-    assert img.shape == (96, 128, 3)
+def test_sharded_matches_lit_shadow():
+    scene, state, cfg = _setup(mode=kani.RenderMode.LIT_SHADOW)
+    _assert_sharded_matches(scene, state, cfg)
+
+
+def test_sharded_matches_deferred():
+    scene, state, cfg = _setup(mode=kani.RenderMode.LIT_SHADOW,
+                               deferred=True)
+    _assert_sharded_matches(scene, state, cfg)
+
+
+def test_sharded_matches_pallas_backend():
+    scene, state, cfg = _setup(mode=kani.RenderMode.LIT_SHADOW,
+                               raster_backend="pallas", tile_h=8,
+                               shadow_tile_h=8)
+    _assert_sharded_matches(scene, state, cfg)
+
+
+def test_sharded_external_shadow_map():
+    scene, state, cfg = _setup(mode=kani.RenderMode.LIT_SHADOW)
+    sh = render_shadow_map(scene, state, cfg)
+    _assert_sharded_matches(scene, state, cfg, shadow_map=sh)
+
+
+def test_sharded_unlit_and_wireframe():
+    for mode in (kani.RenderMode.UNLIT, kani.RenderMode.WIREFRAME):
+        scene, state, cfg = _setup(mode=mode)
+        _assert_sharded_matches(scene, state, cfg)

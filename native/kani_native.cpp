@@ -11,9 +11,10 @@
 //     no reference analog);
 //   * PNG encode (frame dumps; zlib, filter 0 — matches io/image.py);
 //   * run_kanirenderer() C ABI (reference src/lib.rs:2174-2192) that
-//     drives kanirenderer_tpu.api.run in a python3 child process (fixed
-//     argv, args via env — no shell), so Go/C hosts can link one shared
-//     library, like the reference's cdylib.
+//     drives kanirenderer_tpu.api.run IN-PROCESS by embedding CPython via
+//     dlopen(libpython) — the call blocks in the caller's process like the
+//     reference's cdylib — with a python3 subprocess fallback (fixed argv,
+//     args via env, no shell) when no libpython is present.
 //
 // Exposed via a plain C ABI consumed from Python with ctypes
 // (kanirenderer_tpu/io/native.py) and from other languages directly.
@@ -29,6 +30,7 @@
 #include <unordered_map>
 #include <vector>
 
+#include <dlfcn.h>
 #include <sys/types.h>
 #include <sys/wait.h>
 #include <unistd.h>
@@ -447,13 +449,57 @@ int kani_write_png(const char* path, const uint8_t* img, int w, int h,
 }
 
 // ---------------------------------------------------------------------------
-// Embeddable app entry (reference src/lib.rs:2174-2192): drive the Python
-// runtime from C/Go hosts.  The renderer runs in a python3 child process
-// launched with a FIXED argv (fork + execvp, no shell): arguments travel
-// through KANI_ARG_* environment variables, so no caller string can ever be
-// interpreted as code.  This keeps the library free of a hard libpython
-// dependency, which Go/C hosts typically prefer.
+// Embeddable app entry (reference src/lib.rs:2174-2192): drive the renderer
+// from C/Go hosts.  Two execution paths:
+//
+//  1. IN-PROCESS (default, like the reference whose dylib runs the event
+//     loop in the caller's process): dlopen() the CPython runtime, embed an
+//     interpreter, and PyRun the renderer in this process — the call blocks
+//     until the render loop exits, exactly like run() (src/lib.rs:2054).
+//     dlopen (instead of linking -lpython) keeps libkani_native.so free of
+//     a hard libpython dependency for hosts that never call this entry.
+//  2. SUBPROCESS fallback (KANI_EMBED=subprocess, or when no libpython is
+//     found): fork + execvp of python3 with a FIXED argv.
+//
+// Either way arguments travel through KANI_ARG_* environment variables, so
+// no caller string can ever be interpreted as code.
 // ---------------------------------------------------------------------------
+
+static const char kProgram[] =
+    "import os, sys\n"
+    "sys.path.insert(0, '.')\n"
+    "if os.environ.get('KANI_PYTHONPATH'):\n"
+    "    sys.path[:0] = os.environ['KANI_PYTHONPATH'].split(os.pathsep)\n"
+    "import kanirenderer_tpu.api as api\n"
+    "api.run(file_path=os.environ['KANI_ARG_FILE_PATH'],\n"
+    "        file_type=os.environ['KANI_ARG_FILE_TYPE'],\n"
+    "        fullscreen_mode=os.environ['KANI_ARG_FULLSCREEN'],\n"
+    "        use_hdr=os.environ['KANI_ARG_HDR'] == '1')\n";
+
+static int run_in_process() {
+    // The soname list covers current CPython releases; RTLD_GLOBAL is
+    // required so native extension modules (numpy, jaxlib) imported by the
+    // embedded interpreter can resolve libpython symbols.
+    static const char* kLibs[] = {
+        "libpython3.13.so.1.0", "libpython3.12.so.1.0",
+        "libpython3.11.so.1.0", "libpython3.10.so.1.0",
+        "libpython3.so", nullptr};
+    void* lib = nullptr;
+    for (int i = 0; kLibs[i] && !lib; ++i)
+        lib = dlopen(kLibs[i], RTLD_NOW | RTLD_GLOBAL);
+    if (!lib) return -1000;  // caller falls back to the subprocess path
+
+    auto py_is_init = (int (*)())dlsym(lib, "Py_IsInitialized");
+    auto py_init = (void (*)())dlsym(lib, "Py_Initialize");
+    auto py_run = (int (*)(const char*))dlsym(lib, "PyRun_SimpleString");
+    if (!py_is_init || !py_init || !py_run) return -1000;
+
+    if (!py_is_init()) py_init();
+    // The interpreter is deliberately NOT finalized: repeated embed calls
+    // reuse it (Python C API recommends against re-init after finalize
+    // when native extensions like numpy are loaded).
+    return py_run(kProgram) == 0 ? 0 : 1;
+}
 
 int run_kanirenderer(const char* file_path, const char* file_type,
                      const char* fullscreen_mode, int use_hdr) {
@@ -464,14 +510,11 @@ int run_kanirenderer(const char* file_path, const char* file_type,
            fullscreen_mode ? fullscreen_mode : "windowed", 1);
     setenv("KANI_ARG_HDR", use_hdr ? "1" : "0", 1);
 
-    static const char kProgram[] =
-        "import os, sys\n"
-        "sys.path.insert(0, '.')\n"
-        "import kanirenderer_tpu.api as api\n"
-        "api.run(file_path=os.environ['KANI_ARG_FILE_PATH'],\n"
-        "        file_type=os.environ['KANI_ARG_FILE_TYPE'],\n"
-        "        fullscreen_mode=os.environ['KANI_ARG_FULLSCREEN'],\n"
-        "        use_hdr=os.environ['KANI_ARG_HDR'] == '1')\n";
+    const char* embed_mode = getenv("KANI_EMBED");
+    if (!embed_mode || strcmp(embed_mode, "subprocess") != 0) {
+        int rc = run_in_process();
+        if (rc != -1000) return rc;  // ran (or failed) in-process
+    }
 
     pid_t pid = fork();
     if (pid < 0) return -1;

@@ -93,3 +93,62 @@ def test_native_png_roundtrip(tmp_path):
     assert native.write_png(path, img)
     back = decode_png(open(path, "rb").read())
     np.testing.assert_array_equal(img, back)
+
+
+# ---------------------------------------------------------------------------
+# run_kanirenderer C ABI end-to-end (VERDICT r1 #7): compile the C embedding
+# demo against libkani_native.so and drive one headless frame through it —
+# the reference's kani-go/main.go:38 flow (cgo → run_kanirenderer → run()).
+# ---------------------------------------------------------------------------
+
+def _embed_env():
+    import sysconfig
+    env = dict(os.environ)
+    # CPU backend, no TPU tunnel, renderer package + site-packages visible
+    # to the embedded interpreter.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [REPO, sysconfig.get_paths()["purelib"]]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    env.update(KANI_FRAMES="1", KANI_SINK="null",
+               KANI_WIDTH="64", KANI_HEIGHT="64")
+    return env
+
+
+@pytest.fixture(scope="module")
+def embed_demo(tmp_path_factory):
+    out = tmp_path_factory.mktemp("embed") / "embed_demo"
+    rc = subprocess.run(
+        ["cc", os.path.join(REPO, "examples", "embed_demo.c"),
+         "-o", str(out), "-I", os.path.join(REPO, "include"),
+         "-L", os.path.join(REPO, "native"), "-lkani_native",
+         f"-Wl,-rpath,{os.path.join(REPO, 'native')}"],
+        capture_output=True, text=True)
+    if rc.returncode != 0:
+        pytest.skip(f"cc unavailable/failed: {rc.stderr[:200]}")
+    return str(out)
+
+
+def test_run_kanirenderer_in_process(embed_demo):
+    cube = "/root/reference/res/cube.obj"
+    if not os.path.exists(cube):
+        pytest.skip("reference assets unavailable")
+    r = subprocess.run([embed_demo, cube, "opengl", "windowed"],
+                       env=_embed_env(), cwd=REPO, capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "rendered 1 frames" in r.stdout
+
+
+def test_run_kanirenderer_subprocess_fallback(embed_demo):
+    cube = "/root/reference/res/cube.obj"
+    if not os.path.exists(cube):
+        pytest.skip("reference assets unavailable")
+    env = _embed_env()
+    env["KANI_EMBED"] = "subprocess"
+    r = subprocess.run([embed_demo, cube, "opengl", "windowed"],
+                       env=env, cwd=REPO, capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "rendered 1 frames" in r.stdout

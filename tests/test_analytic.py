@@ -1,0 +1,141 @@
+"""Analytic fragment tests: shade_lit vs HAND-COMPUTED reference values.
+
+Unlike the golden images (which regression-test the code against itself),
+these evaluate the reference WGSL fragment program by hand (numpy float64,
+explicit constants from src/shader.wgsl:163-262) for a synthetic fragment
+with a friendly geometry (identity TBN, axis-aligned view) and assert the
+renderer's shading matches.  A shading-constant typo (attenuation
+coefficients, ambient scale, the ×10/0.5 sun factors, the Reinhard curve,
+the PCF kernel) fails these tests.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import kanirenderer_tpu as kani
+from kanirenderer_tpu.core.types import Scene
+from kanirenderer_tpu.ops.interpolate import PixelBuffer, USED
+from kanirenderer_tpu.ops.sampling import build_shadow_table, sample_shadow_pcf
+from kanirenderer_tpu.shade import forward
+
+H = W = 4
+
+
+def _flat_material_scene(diffuse=(0.5, 0.5, 0.5),
+                         normal=(0.5, 0.5, 1.0)) -> Scene:
+    """1×1-texel material: diffuse constant (linear), normal-map constant."""
+    row = np.array(list(diffuse) * 4 + list(normal) * 4, np.float32)
+    z3 = jnp.zeros((1, 3), jnp.float32)
+    return Scene(
+        position=z3, uv=jnp.zeros((1, 2), jnp.float32), normal=z3,
+        tangent=z3, bitangent=z3,
+        vertex_object=jnp.zeros((1,), jnp.int32),
+        tri_idx=jnp.zeros((1, 3), jnp.int32),
+        tri_mat=jnp.zeros((1,), jnp.int32),
+        tri_valid=jnp.zeros((1,), bool),
+        object_model=jnp.eye(4)[None], object_normal=jnp.eye(3)[None],
+        tex_rows=jnp.asarray(row[None], jnp.bfloat16),
+        mat_row_base=jnp.zeros((1,), jnp.int32),
+        mat_tex_size=jnp.ones((1, 2), jnp.int32))
+
+
+def _fragment(shadow_uv=(0.5, 0.5, 0.5)) -> PixelBuffer:
+    """A fragment with identity TBN, view/light straight down +Z."""
+    v = np.zeros((USED, H, W), np.float32)
+    v[3:6] = np.array([0.0, 0.0, 1.0])[:, None, None]   # tan view pos
+    v[6:9] = np.array([0.0, 0.0, 2.0])[:, None, None]   # tan movable light
+    v[9:12] = np.array([1.0, 0.0, 0.0])[:, None, None]  # TBN rows: identity
+    v[12:15] = np.array([0.0, 1.0, 0.0])[:, None, None]
+    v[15:18] = np.array([0.0, 0.0, 1.0])[:, None, None]
+    v[21:24] = np.asarray(shadow_uv, np.float32)[:, None, None]
+    v[24:26] = 0.5                                       # UV → texel (0,0)
+    plane_i = jnp.zeros((H, W), jnp.int32)
+    return PixelBuffer(
+        varyings=jnp.asarray(v), mat_id=plane_i,
+        tex_w=jnp.ones((H, W), jnp.int32), tex_h=jnp.ones((H, W), jnp.int32),
+        tex_base=plane_i, mask=jnp.ones((H, W), bool),
+        z=jnp.full((H, W), 0.5, jnp.float32))
+
+
+def _expected_lit(shadow_factor: float) -> np.ndarray:
+    """Reference fragment math by hand (src/shader.wgsl:163-262), f64."""
+    obj = 0.5                       # 0.5 is exact in bf16
+    n = np.array([0.0, 0.0, 1.0])
+    view_dir = np.array([0.0, 0.0, 1.0])
+
+    # movable point light (lib.rs:433-446): pos (0,100,0), color 20, r 256
+    dist = 100.0
+    att = 1.0 / (1.0 + 0.09 * dist + 0.032 * dist * dist) \
+        * np.clip(1.0 - (dist / 256.0) ** 4, 0.0, 1.0)
+    light_dir = np.array([0.0, 0.0, 1.0])   # tangent-space uniform pos
+    half = (view_dir + light_dir) / np.linalg.norm(view_dir + light_dir)
+    diff = max(n @ light_dir, 0.0) * 20.0
+    spec = max(n @ half, 0.0) ** 32 * 20.0
+    movable = (diff + spec) * att * obj
+
+    ambient = 20.0 * 0.0005 * obj
+
+    # directional light (light.rs:69-78): dir (0,-0.9902682,-0.1391731)
+    d = np.array([0.0, -0.9902682, -0.1391731])
+    dl = -d / np.linalg.norm(d)
+    half_d = (view_dir + dl) / np.linalg.norm(view_dir + dl)
+    dl_diff = max(n @ dl, 0.0) * 10.0
+    dl_spec = max(n @ half_d, 0.0) ** 32 * (10.0 * 0.5)
+    dl_term = (dl_diff + dl_spec) * shadow_factor * obj
+
+    c = ambient + movable + dl_term         # dummy point light is black
+    return np.full(3, c / (c + 1.0))        # Reinhard
+
+
+def test_shade_lit_hand_computed():
+    scene = _flat_material_scene()
+    got = np.asarray(forward.shade_lit(scene, _fragment(),
+                                       kani.default_lights(), None,
+                                       hdr=False))
+    expected = _expected_lit(shadow_factor=1.0)
+    np.testing.assert_allclose(got[:, 2, 2], expected, atol=2e-6)
+
+
+def test_shade_lit_shadow_hand_computed():
+    # Shadow map: left half occluded (0.0), right half lit (1.0); the
+    # fragment samples the exact column boundary at depth 0.5 → by the
+    # 3×3 PCF hand-expansion the factor is (3 · 1.5)/9 = 0.5.
+    D = 16
+    sm = np.zeros((D, D), np.float32)
+    sm[:, D // 2:] = 1.0
+    tbl = build_shadow_table(jnp.asarray(sm))
+    scene = _flat_material_scene()
+    pix = _fragment(shadow_uv=(0.5, 0.5, 0.5))
+    got = np.asarray(forward.shade_lit(scene, pix, kani.default_lights(),
+                                       tbl, hdr=False, shadow_dim=D))
+    expected = _expected_lit(shadow_factor=0.5)
+    np.testing.assert_allclose(got[:, 2, 2], expected, atol=2e-6)
+
+
+def test_pcf_factor_hand_computed():
+    """PCF at a hard shadow edge for several sub-texel offsets."""
+    D = 16
+    sm = np.zeros((D, D), np.float32)
+    sm[:, D // 2:] = 1.0
+    tbl = build_shadow_table(jnp.asarray(sm))
+    depth = jnp.full((1, 1), 0.5, jnp.float32)
+    vv = jnp.full((1, 1), 0.5, jnp.float32)
+    for fx, want in [(0.0, (3 * 1.0) / 9),    # taps at x=6..9 → cols 8,9 lit
+                     (0.5, (3 * 1.5) / 9),
+                     (0.25, (3 * 1.25) / 9),
+                     (1.0 - 1e-6, (3 * 2.0) / 9)]:
+        u = jnp.full((1, 1), (7 + fx + 0.5) / D, jnp.float32)
+        got = float(sample_shadow_pcf(tbl, D, u, vv, depth)[0, 0])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_ambient_only_when_unlit_directions():
+    """Back-facing fragment (normal −Z): every max(dot,0) clamps to 0 —
+    only ambient survives (src/shader.wgsl:179-181)."""
+    scene = _flat_material_scene(normal=(0.5, 0.5, 0.0))  # raw n = (0,0,-1)
+    got = np.asarray(forward.shade_lit(scene, _fragment(),
+                                       kani.default_lights(), None,
+                                       hdr=False))
+    c = 20.0 * 0.0005 * 0.5
+    np.testing.assert_allclose(got[:, 1, 1], np.full(3, c / (c + 1)),
+                               atol=2e-6)

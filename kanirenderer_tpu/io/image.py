@@ -13,7 +13,8 @@ Behavioral parity with the reference texture pipeline (src/texture.rs):
 * default-texture fallback: any load failure yields the embedded default
   normal map (src/resources.rs:51-61) — a flat +Z normal (128, 128, 255).
 
-Decoding uses PIL when available, with a minimal built-in PNG decoder as a
+Decoding uses PIL when available, with minimal built-in PNG and baseline
+JPEG decoders (io/jpeg.py) as a
 fallback so the framework has no hard dependency on it.
 """
 
@@ -163,6 +164,9 @@ def load_image_bytes(data: bytes) -> np.ndarray:
             return arr
         except Exception:
             pass
+    if data[:2] == b"\xff\xd8":
+        from kanirenderer_tpu.io.jpeg import decode_jpeg
+        return decode_jpeg(data)
     return decode_png(data)
 
 

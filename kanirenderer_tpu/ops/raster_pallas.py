@@ -413,16 +413,29 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
     cand = cand_ref[:]
     win_s = cand // CHUNK_SIZE            # -1 stays -1 (floor division)
 
+    # Same NBUF-deep DMA pipeline as phase 1: streaming every chunk again
+    # costs negligible bandwidth (~16 KB/chunk) but hides the per-chunk
+    # DMA latency that a winners-only serial walk would expose; the LUT
+    # math below still runs only for chunks that won pixels.
+    for w in range(NBUF - 1):
+        @pl.when(w < count)
+        def _(w=w):
+            dma(w % NBUF, get_cid(w)).start()
+
     def interp_body(s, _):
+        slot = s % NBUF
+
+        @pl.when(s + NBUF - 1 < count)
+        def _():
+            dma((s + NBUF - 1) % NBUF, get_cid(s + NBUF - 1)).start()
+
+        dma(slot, get_cid(s)).wait()
         mask = win_s == s
 
         @pl.when(mask.any())
         def _():
-            d = dma(0, get_cid(s))
-            d.start()
             local = jnp.where(mask, cand - s * CHUNK_SIZE, 0)
-            d.wait()
-            chunk = chunk_buf[0]          # (CHUNK_SIZE, 128)
+            chunk = chunk_buf[slot]       # (CHUNK_SIZE, 128)
             padded = jnp.concatenate(
                 [chunk, jnp.zeros((128 - CHUNK_SIZE, 128), jnp.float32)])
             ct = padded.T                  # (128 lanes->tri slots) per row

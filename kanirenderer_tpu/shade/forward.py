@@ -85,14 +85,22 @@ def _blinn_phong(tangent_normal: Array, light_dir: Array, view_dir: Array,
                  light_color: Array) -> tuple[Array, Array]:
     half_dir = _norm3(view_dir + light_dir)
     diff = jnp.maximum(_dot3(tangent_normal, light_dir), 0.0)
-    spec = jnp.maximum(_dot3(tangent_normal, half_dir), 0.0) ** 32.0
+    s1 = jnp.maximum(_dot3(tangent_normal, half_dir), 0.0)
+    # x^32 by five squarings — jnp ** 32.0 lowers to a transcendental
+    # pow (exp·log) on the VPU, ~10× the cost at 2M px × 3 ch × lights.
+    s2 = s1 * s1
+    s4 = s2 * s2
+    s8 = s4 * s4
+    s16 = s8 * s8
+    spec = s16 * s16
     return light_color * diff[None], light_color * spec[None]
 
 
 def _attenuation(dist: Array, rng: Array) -> Array:
     att = 1.0 / (1.0 + 0.09 * dist + 0.032 * dist * dist)
-    range_att = jnp.clip(1.0 - (dist / jnp.maximum(rng, 1e-20)) ** 4.0,
-                         0.0, 1.0)
+    q = dist / jnp.maximum(rng, 1e-20)
+    q2 = q * q
+    range_att = jnp.clip(1.0 - q2 * q2, 0.0, 1.0)
     return att * range_att
 
 

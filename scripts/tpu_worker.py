@@ -24,6 +24,15 @@ import jax  # noqa: E402
 
 print(f"jax ready in {time.time()-t0:.0f}s: {jax.devices()}", flush=True)
 
+# Persistent compilation cache: worker re-execs (after backend errors)
+# would otherwise recompile the ~4-minute frame executables from scratch.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    print("compilation cache at /tmp/jax_cache", flush=True)
+except Exception as e:  # cache unsupported on this backend: fine
+    print(f"no compilation cache: {e}", flush=True)
+
 NAMESPACE: dict = {"jax": jax}
 # survive re-exec: anything with a .done marker is already processed
 done = {f[:-5] + ".py" for f in os.listdir(JOBS) if f.endswith(".done")}

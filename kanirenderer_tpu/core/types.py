@@ -75,14 +75,16 @@ class Scene(NamedTuple):
     object_normal: Array   # (O, 3, 3) f32 normal matrix per object
 
     # --- materials / textures ---
-    # One fused texel-row table holds BOTH textures' bilinear footprints:
-    # row r = the 2×2 Repeat-wrapped neighborhood of texel (x, y) of a
-    # material, channels [d00 d10 d01 d11 n00 n10 n01 n11] × RGB = 24
-    # bf16 (halving the table keeps the TPU row-gather on its fast path;
-    # filtering accumulates in f32 — see ops/sampling.py).  A single
-    # per-pixel row gather yields everything bilinear filtering needs.
-    tex_rows: Array       # (R, 24) bf16; diffuse linear (sRGB pre-decoded)
-    mat_row_base: Array   # (M,) i32 first row of each material's texture
+    # Per-texture block-window tables: each texture is tiled into
+    # 6×4-texel blocks whose Repeat-wrapped 7×5 windows (35 texels × RGB
+    # = 105 lanes) form one 128-lane bf16 row — a pixel's whole 2×2
+    # bilinear footprint lives in ONE gathered row per texture, and
+    # table size stays small enough for the TPU row-gather fast path
+    # (filtering accumulates in f32 — see ops/sampling.py).
+    tex_diffuse: Array    # (R, 128) bf16 linear RGB (sRGB pre-decoded)
+    tex_normal: Array     # (R, 128) bf16 raw normal-map RGB
+    mat_blk_base: Array   # (M,) i32 first block row of each material
+    mat_blk_w: Array      # (M,) i32 blocks per texture row (= ceil(w/6))
     mat_tex_size: Array   # (M, 2) i32 (w, h) texels (normal maps are
     #                       resampled to the diffuse resolution at load)
 

@@ -219,13 +219,19 @@ class SceneBuilder:
             tri_mat = np.concatenate([tri_mat, np.zeros(pad, np.int32)])
             tri_valid[ntris:] = False
 
-        # Fused texel-row table (see core/types.Scene): per material, the
-        # normal map is resampled to the diffuse resolution, both are
+        # Block-window texel tables (see core/types.Scene): per material,
+        # the normal map is resampled to the diffuse resolution, both are
         # converted to f32 (diffuse sRGB→linear: the Rgba8UnormSrgb view,
-        # reference src/texture.rs:128; normals raw), and each texel's
-        # Repeat-wrapped 2×2 neighborhood is packed into one 24-float row.
-        tex_rows_list = []
-        row_base = []
+        # reference src/texture.rs:128; normals raw), then each texture is
+        # tiled into 6×4 blocks whose Repeat-wrapped 7×5 windows become
+        # one 128-lane row (ops/sampling.build_material_blocks).  bf16
+        # keeps the tables on the gather fast path at ~0.4% relative
+        # texel error — finer than the 8-bit sRGB sources.
+        from kanirenderer_tpu.ops.sampling import build_material_blocks
+        dblocks_list = []
+        nblocks_list = []
+        blk_base = []
+        blk_w = []
         tex_size = []
         base = 0
         textures = self.textures or [MaterialTextures(
@@ -239,28 +245,20 @@ class SceneBuilder:
                 yi = (np.arange(h) * n.shape[0] // h)
                 xi = (np.arange(w) * n.shape[1] // w)
                 n = n[yi][:, xi]
-            six = np.concatenate([d, n], axis=-1)           # (h, w, 6)
-            rows = np.concatenate([
-                six,
-                np.roll(six, -1, axis=1),                   # (x+1, y)
-                np.roll(six, -1, axis=0),                   # (x, y+1)
-                np.roll(np.roll(six, -1, axis=0), -1, axis=1),
-            ], axis=-1)                                     # (h, w, 24)
-            # reorder to [d00 d10 d01 d11 | n00 n10 n01 n11] x RGB
-            order = [0, 1, 2, 6, 7, 8, 12, 13, 14, 18, 19, 20,
-                     3, 4, 5, 9, 10, 11, 15, 16, 17, 21, 22, 23]
-            rows = rows[..., order]
-            tex_rows_list.append(rows.reshape(h * w, 24))
-            row_base.append(base)
+            dblocks_list.append(build_material_blocks(d))
+            nblocks_list.append(build_material_blocks(n))
+            blk_base.append(base)
+            blk_w.append(-(-w // 6))
             tex_size.append((w, h))
-            base += h * w
-        # bf16 halves the gather table (the TPU row-gather fast path is
-        # table-size-bound; see ops/sampling.py) at ~0.4% relative texel
-        # error — finer than the 8-bit sRGB sources almost everywhere.
-        tex_rows = jnp.asarray(
-            np.concatenate(tex_rows_list).astype(np.float32),
+            base += dblocks_list[-1].shape[0]
+        tex_diffuse = jnp.asarray(
+            np.concatenate(dblocks_list).astype(np.float32),
             dtype=jnp.bfloat16)
-        mat_row_base = np.asarray(row_base, np.int32)
+        tex_normal = jnp.asarray(
+            np.concatenate(nblocks_list).astype(np.float32),
+            dtype=jnp.bfloat16)
+        mat_blk_base = np.asarray(blk_base, np.int32)
+        mat_blk_w = np.asarray(blk_w, np.int32)
         mat_tex_size = np.asarray(tex_size, np.int32)
 
         # Object transforms.
@@ -284,8 +282,10 @@ class SceneBuilder:
             tri_valid=jnp.asarray(tri_valid),
             object_model=jnp.asarray(models),
             object_normal=jnp.asarray(normals_m),
-            tex_rows=tex_rows,
-            mat_row_base=jnp.asarray(mat_row_base),
+            tex_diffuse=tex_diffuse,
+            tex_normal=tex_normal,
+            mat_blk_base=jnp.asarray(mat_blk_base),
+            mat_blk_w=jnp.asarray(mat_blk_w),
             mat_tex_size=jnp.asarray(mat_tex_size),
         )
 

@@ -10,7 +10,7 @@ so per-pixel work is exactly ONE wide row gather.  The per-triangle
 record packs everything pixel shading needs that is constant per triangle:
 
   [v0 varyings (26) | v1 (26) | v2 (26) | mat_id | tex_w | tex_h |
-   tex_base_hi | tex_base_lo]
+   blk_base_hi | blk_base_lo | blk_w]
 
 including the material's texture parameters (so the samplers need no
 additional per-pixel parameter gathers; the row base is split into two
@@ -36,33 +36,36 @@ class PixelBuffer(NamedTuple):
     mat_id: Array    # (H, W) i32
     tex_w: Array     # (H, W) i32  material texture width
     tex_h: Array     # (H, W) i32
-    tex_base: Array  # (H, W) i32  first row of the material texture
+    blk_base: Array  # (H, W) i32  first block row of the material texture
+    blk_w: Array     # (H, W) i32  blocks per texture row (ceil(w/6))
     mask: Array      # (H, W) bool — True where geometry covers the pixel
     z: Array         # (H, W) f32 depth
 
 
 def build_tri_records(tri_idx: Array, tri_mat: Array, varyings: Array,
-                      mat_row_base: Array, mat_tex_size: Array) -> Array:
-    """(T, 3·USED+5) per-triangle shading records."""
+                      mat_blk_base: Array, mat_blk_w: Array,
+                      mat_tex_size: Array) -> Array:
+    """(T, 3·USED+6) per-triangle shading records."""
     v = varyings[:, :USED]
     r0 = v[tri_idx[:, 0]]
     r1 = v[tri_idx[:, 1]]
     r2 = v[tri_idx[:, 2]]
     tw = jnp.take(mat_tex_size[:, 0], tri_mat, axis=0)
     th = jnp.take(mat_tex_size[:, 1], tri_mat, axis=0)
-    base = jnp.take(mat_row_base, tri_mat, axis=0)
+    base = jnp.take(mat_blk_base, tri_mat, axis=0)
+    bw = jnp.take(mat_blk_w, tri_mat, axis=0)
     base_hi = base // 65536
     base_lo = base - base_hi * 65536
-    extra = jnp.stack([tri_mat, tw, th, base_hi, base_lo],
+    extra = jnp.stack([tri_mat, tw, th, base_hi, base_lo, bw],
                       axis=1).astype(jnp.float32)
     return jnp.concatenate([r0, r1, r2, extra], axis=1)
 
 
 def interpolate(vis: VisBuffer, tri_idx: Array, tri_mat: Array,
-                varyings: Array, mat_row_base: Array,
+                varyings: Array, mat_blk_base: Array, mat_blk_w: Array,
                 mat_tex_size: Array) -> PixelBuffer:
-    records = build_tri_records(tri_idx, tri_mat, varyings, mat_row_base,
-                                mat_tex_size)
+    records = build_tri_records(tri_idx, tri_mat, varyings, mat_blk_base,
+                                mat_blk_w, mat_tex_size)
     tid = jnp.maximum(vis.tri, 0)
     rec = jnp.take(records, tid, axis=0)        # (H, W, 3·USED+5)
     l1 = vis.bary[..., 0]
@@ -76,12 +79,13 @@ def interpolate(vis: VisBuffer, tri_idx: Array, tri_mat: Array,
     planar = jnp.stack(planes)                  # (USED, H, W)
     k = 3 * USED
     # Combine the hi/lo halves in int32 — an f32 sum would lose exactness
-    # once the texel-row table exceeds 2^24 rows (sponza-class workloads).
+    # once the block table exceeds 2^24 rows (very large texture sets).
     base = (rec[..., k + 3].astype(jnp.int32) * 65536
             + rec[..., k + 4].astype(jnp.int32))
     return PixelBuffer(varyings=planar,
                        mat_id=rec[..., k].astype(jnp.int32),
                        tex_w=rec[..., k + 1].astype(jnp.int32),
                        tex_h=rec[..., k + 2].astype(jnp.int32),
-                       tex_base=base,
+                       blk_base=base,
+                       blk_w=rec[..., k + 5].astype(jnp.int32),
                        mask=vis.tri >= 0, z=vis.z)

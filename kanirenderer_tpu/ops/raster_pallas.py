@@ -43,10 +43,10 @@ _BIG = float("inf")
 
 # Chunk-row lane layout for the fused raster+interpolate kernel:
 # [setup 0:16 | bbox 16:20 | v0 varyings 20:46 | v1 46:72 | v2 72:98 |
-#  mat, tex_w, tex_h, base_hi, base_lo 98:103 | pad]
+#  mat, tex_w, tex_h, blk_hi, blk_lo, blk_w 98:104 | pad]
 REC0 = NS + 4            # 20
 PAR0 = REC0 + 3 * USED   # 98
-REC_LANES = 3 * USED + 5  # matches interpolate.build_tri_records width
+REC_LANES = 3 * USED + 6  # matches interpolate.build_tri_records width
 
 
 def _interpret() -> bool:
@@ -281,9 +281,9 @@ def rasterize(st: TriangleSetup, config: RenderConfig,
 
 
 def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
-                  th_ref, base_ref, tid_ref, list_smem, chunk_buf, cand_ref,
-                  list_sem, sem, *, tile_h, tile_w, tiles_x, wireframe,
-                  wire_thresh):
+                  th_ref, base_ref, bw_ref, tid_ref, list_smem, chunk_buf,
+                  cand_ref, list_sem, sem, *, tile_h, tile_w, tiles_x,
+                  wireframe, wire_thresh):
     """Raster + interpolate in one pass over the tile's chunk list.
 
     Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
@@ -408,6 +408,7 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
     tw_ref[:] = jnp.ones_like(tw_ref)
     th_ref[:] = jnp.ones_like(th_ref)
     base_ref[:] = jnp.zeros_like(base_ref)
+    bw_ref[:] = jnp.ones_like(bw_ref)
     tid_ref[:] = jnp.full_like(tid_ref, -1)
 
     cand = cand_ref[:]
@@ -468,6 +469,8 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
             base = (g(PAR0 + 3).astype(jnp.int32) * 65536
                     + g(PAR0 + 4).astype(jnp.int32))
             base_ref[:] = jnp.where(mask, base, base_ref[:])
+            bw_ref[:] = jnp.where(mask, g(PAR0 + 5).astype(jnp.int32),
+                                  bw_ref[:])
             tid_ref[:] = jnp.where(mask, get_cid(s) * CHUNK_SIZE + local,
                                    tid_ref[:])
         return 0
@@ -493,10 +496,10 @@ def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
         grid=(tiles_y, tiles_x),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[bspec, vspec] + [bspec] * 5,
+        out_specs=[bspec, vspec] + [bspec] * 6,
         out_shape=[plane_f,
                    jax.ShapeDtypeStruct((USED, ph, pw), jnp.float32),
-                   plane_i, plane_i, plane_i, plane_i, plane_i],
+                   plane_i, plane_i, plane_i, plane_i, plane_i, plane_i],
         scratch_shapes=[
             pltpu.SMEM((8, 128), jnp.int32),
             pltpu.VMEM((NBUF, CHUNK_SIZE, 128), jnp.float32),
@@ -551,13 +554,14 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
     setup_c = setup_c.at[:, :, REC0:REC0 + REC_LANES].set(
         records.reshape(C, CHUNK_SIZE, REC_LANES))
 
-    z, vary, mat, tw, th, base, tid = _run_fused(
+    z, vary, mat, tw, th, base, bw, tid = _run_fused(
         setup_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, tiles_y,
         wireframe, cfg.wire_thresh_px)
     H, W = band_h, cfg.width
     return PixelBuffer(varyings=vary[:, :H, :W], mat_id=mat[:H, :W],
                        tex_w=tw[:H, :W], tex_h=th[:H, :W],
-                       tex_base=base[:H, :W], mask=tid[:H, :W] >= 0,
+                       blk_base=base[:H, :W], blk_w=bw[:H, :W],
+                       mask=tid[:H, :W] >= 0,
                        z=z[:H, :W])
 
 

@@ -7,12 +7,17 @@ over-large table falls to ~90 Mrows/s.  Every sampler here is therefore
 built as ONE wide row gather followed by lane-space multiply-reduce math
 (never a transpose of the gathered array):
 
-* ``sample_materials_fused`` — diffuse + normal-map bilinear filtering
-  with Repeat addressing from the fused texel-row table
-  (core/types.Scene.tex_rows, bf16): each row already holds both
-  textures' 2×2 wrapped neighborhoods, so filtering is one gather + 24
-  lane-sliced madds.  Matches the material sampler state (reference
-  src/texture.rs:162-173).
+* ``sample_materials_blocks`` — diffuse + normal-map bilinear filtering
+  with Repeat addressing from per-texture block-window tables
+  (core/types.Scene.tex_diffuse/tex_normal, bf16): each texture is tiled
+  into 6×4-texel blocks whose Repeat-wrapped 7×5 windows (35 texels ×
+  RGB = 105 lanes) form one 128-lane row, so a pixel's whole 2×2
+  bilinear footprint lives in one gathered row per texture, and the
+  tables carry ~1.46 lanes/texel instead of the 2×2-row layout's 4 —
+  keeping sponza-class texture sets inside the gather fast path.
+  Filtering is a separable-weight lane reduction (channels innermost →
+  one (…,35,3) reshape-sum yields RGB).  Matches the material sampler
+  state (reference src/texture.rs:162-173).
 * ``build_shadow_table`` / ``sample_shadow_pcf`` — the 3×3 PCF kernel of
   comparison taps (reference src/lib.rs:760-767, src/shader.wgsl:140-159)
   from an 8×8-block window table: row b = the clamp-padded 11×11 texel
@@ -41,17 +46,48 @@ _LANE_ROW = jnp.asarray(np.minimum(np.arange(128) // _WIN, _WIN - 1),
 _LANE_COL = jnp.asarray(np.arange(128) % _WIN, jnp.int32)
 
 
-def sample_materials_fused(tex_rows: Array, base: Array, tw: Array,
-                           th: Array, u: Array,
-                           v: Array) -> tuple[Array, Array]:
+# Material block-window geometry: 6×4-texel blocks, Repeat-wrapped 7×5
+# window × RGB = 105 lanes (one apron column/row for the +1 bilinear
+# neighbor; wrap is baked into the window at build time).
+MAT_BX = 6
+MAT_BY = 4
+MAT_WINX = MAT_BX + 1
+MAT_WINY = MAT_BY + 1
+MAT_LANES = MAT_WINX * MAT_WINY * 3
+_MLANE = np.minimum(np.arange(128), MAT_LANES - 1)
+_MLANE_ROW = jnp.asarray(_MLANE // (MAT_WINX * 3), jnp.int32)
+_MLANE_COL = jnp.asarray((_MLANE // 3) % MAT_WINX, jnp.int32)
+
+
+def build_material_blocks(tex: "np.ndarray") -> "np.ndarray":
+    """(h, w, 3) f32 texture → (ceil(h/4)·ceil(w/6), 128) block rows.
+
+    Row (by·bw + bx) holds the 7×5 window of block (by, bx) with Repeat
+    (modulo) addressing baked in, lanes ordered (row, col, channel)
+    innermost-channel so samplers reduce with one (…, 35, 3) reshape.
+    Host-side numpy; runs once per texture at scene pack."""
+    h, w = tex.shape[:2]
+    bw = -(-w // MAT_BX)
+    bh = -(-h // MAT_BY)
+    ys = (np.arange(bh)[:, None] * MAT_BY + np.arange(MAT_WINY)[None]) % h
+    xs = (np.arange(bw)[:, None] * MAT_BX + np.arange(MAT_WINX)[None]) % w
+    win = tex[ys[:, None, :, None], xs[None, :, None, :]]  # (bh,bw,5,7,3)
+    rows = win.reshape(bh * bw, MAT_LANES)
+    return np.pad(rows, ((0, 0), (0, 128 - MAT_LANES)))
+
+
+def sample_materials_blocks(tex_diffuse: Array, tex_normal: Array,
+                            blk_base: Array, blk_w: Array, tw: Array,
+                            th: Array, u: Array,
+                            v: Array) -> tuple[Array, Array]:
     """Returns (diffuse (3,H,W) linear f32, normal (3,H,W) raw f32).
 
-    base/tw/th are per-pixel (H, W) i32 planes taken from the triangle
-    records — no per-pixel parameter gathers happen here.  The gathered
-    rows are consumed by lane-sliced blends (per output channel a 4-term
-    weighted sum over the 2×2 footprint), never transposed, so the gather
-    stays on the fast path; accumulation is f32 regardless of the table
-    dtype (bf16 in the packed Scene)."""
+    blk_base/blk_w/tw/th are per-pixel (H, W) i32 planes taken from the
+    triangle records — no per-pixel parameter gathers happen here.  One
+    row gather per texture; the separable bilinear weights become a lane
+    mask and RGB falls out of a (…, 35, 3) reshape-sum, so the gathers
+    stay on the fast path (no transpose consumer); accumulation is f32
+    regardless of the table dtype (bf16 in the packed Scene)."""
     tx = u * tw.astype(jnp.float32) - 0.5
     ty = v * th.astype(jnp.float32) - 0.5
     x0 = jnp.floor(tx)
@@ -60,21 +96,29 @@ def sample_materials_fused(tex_rows: Array, base: Array, tw: Array,
     fy = ty - y0
     x0i = jnp.mod(x0.astype(jnp.int32), tw)
     y0i = jnp.mod(y0.astype(jnp.int32), th)
+    bx = x0i // MAT_BX
+    by = y0i // MAT_BY
+    lx = x0i - bx * MAT_BX
+    ly = y0i - by * MAT_BY
+    row = blk_base + by * blk_w + bx
 
-    rec = jnp.take(tex_rows, base + y0i * tw + x0i, axis=0)  # (H, W, 24)
-    w00 = (1.0 - fx) * (1.0 - fy)
-    w10 = fx * (1.0 - fy)
-    w01 = (1.0 - fx) * fy
-    w11 = fx * fy
-    ws = (w00, w10, w01, w11)
+    dxv = _MLANE_COL[None, None, :] - lx[..., None]
+    dyv = _MLANE_ROW[None, None, :] - ly[..., None]
+    wx = jnp.where(dxv == 0, 1.0 - fx[..., None], 0.0) \
+        + jnp.where(dxv == 1, fx[..., None], 0.0)
+    wy = jnp.where(dyv == 0, 1.0 - fy[..., None], 0.0) \
+        + jnp.where(dyv == 1, fy[..., None], 0.0)
+    wgt = wx * wy
 
-    def tex(o):
-        return jnp.stack([
-            sum(rec[..., o + k * 3 + ch].astype(jnp.float32) * ws[k]
-                for k in range(4))
-            for ch in range(3)])
+    shape = u.shape
 
-    return tex(0), tex(12)
+    def tex(tbl):
+        win = jnp.take(tbl, row, axis=0)              # (H, W, 128)
+        s = (win.astype(jnp.float32) * wgt)[..., :MAT_LANES]
+        rgb = s.reshape(shape + (MAT_WINY * MAT_WINX, 3)).sum(-2)
+        return jnp.moveaxis(rgb, -1, 0)               # (3, H, W)
+
+    return tex(tex_diffuse), tex(tex_normal)
 
 
 def build_shadow_table(shadow_map: Array) -> Array:

@@ -58,8 +58,8 @@ def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
     if cfg.raster_backend == "pallas":
         from kanirenderer_tpu.ops import raster_pallas
         records = build_tri_records(scene.tri_idx, scene.tri_mat,
-                                    vout.varyings, scene.mat_row_base,
-                                    scene.mat_tex_size)
+                                    vout.varyings, scene.mat_blk_base,
+                                    scene.mat_blk_w, scene.mat_tex_size)
         return raster_pallas.rasterize_pixels(st, records, cfg,
                                               wireframe=wireframe,
                                               band_h=band_h, y0=y0)
@@ -68,7 +68,8 @@ def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
         wireframe=wireframe, wire_thresh=cfg.wire_thresh_px,
         y_offset=0.0 if y0 is None else y0)
     return interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings,
-                       scene.mat_row_base, scene.mat_tex_size)
+                       scene.mat_blk_base, scene.mat_blk_w,
+                       scene.mat_tex_size)
 
 
 def _rasterize_depth(st, cfg: RenderConfig):

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from kanirenderer_tpu.core.color import aces_tonemap, reinhard_tonemap
 from kanirenderer_tpu.core.types import Lights, Scene
 from kanirenderer_tpu.ops.interpolate import PixelBuffer
-from kanirenderer_tpu.ops.sampling import (sample_materials_fused,
+from kanirenderer_tpu.ops.sampling import (sample_materials_blocks,
                                            sample_shadow_pcf)
 
 Array = jnp.ndarray
@@ -64,10 +64,11 @@ def _splat(c, shape) -> Array:
 
 def sample_materials(scene: Scene, pix: PixelBuffer) -> tuple[Array, Array]:
     """Per-pixel diffuse (linear RGB) and raw normal-map samples, planar —
-    one fused row gather for both textures (see ops/sampling.py)."""
-    return sample_materials_fused(scene.tex_rows, pix.tex_base, pix.tex_w,
-                                  pix.tex_h,
-                                  pix.varyings[24], pix.varyings[25])
+    one block-window row gather per texture (see ops/sampling.py)."""
+    return sample_materials_blocks(scene.tex_diffuse, scene.tex_normal,
+                                   pix.blk_base, pix.blk_w, pix.tex_w,
+                                   pix.tex_h,
+                                   pix.varyings[24], pix.varyings[25])
 
 
 def shade_unlit(scene: Scene, pix: PixelBuffer) -> Array:

@@ -24,7 +24,11 @@ H = W = 4
 def _flat_material_scene(diffuse=(0.5, 0.5, 0.5),
                          normal=(0.5, 0.5, 1.0)) -> Scene:
     """1×1-texel material: diffuse constant (linear), normal-map constant."""
-    row = np.array(list(diffuse) * 4 + list(normal) * 4, np.float32)
+    from kanirenderer_tpu.ops.sampling import build_material_blocks
+    dtbl = build_material_blocks(
+        np.asarray(diffuse, np.float32)[None, None, :])
+    ntbl = build_material_blocks(
+        np.asarray(normal, np.float32)[None, None, :])
     z3 = jnp.zeros((1, 3), jnp.float32)
     return Scene(
         position=z3, uv=jnp.zeros((1, 2), jnp.float32), normal=z3,
@@ -34,8 +38,10 @@ def _flat_material_scene(diffuse=(0.5, 0.5, 0.5),
         tri_mat=jnp.zeros((1,), jnp.int32),
         tri_valid=jnp.zeros((1,), bool),
         object_model=jnp.eye(4)[None], object_normal=jnp.eye(3)[None],
-        tex_rows=jnp.asarray(row[None], jnp.bfloat16),
-        mat_row_base=jnp.zeros((1,), jnp.int32),
+        tex_diffuse=jnp.asarray(dtbl, jnp.bfloat16),
+        tex_normal=jnp.asarray(ntbl, jnp.bfloat16),
+        mat_blk_base=jnp.zeros((1,), jnp.int32),
+        mat_blk_w=jnp.ones((1,), jnp.int32),
         mat_tex_size=jnp.ones((1, 2), jnp.int32))
 
 
@@ -53,7 +59,8 @@ def _fragment(shadow_uv=(0.5, 0.5, 0.5)) -> PixelBuffer:
     return PixelBuffer(
         varyings=jnp.asarray(v), mat_id=plane_i,
         tex_w=jnp.ones((H, W), jnp.int32), tex_h=jnp.ones((H, W), jnp.int32),
-        tex_base=plane_i, mask=jnp.ones((H, W), bool),
+        blk_base=plane_i, blk_w=jnp.ones((H, W), jnp.int32),
+        mask=jnp.ones((H, W), bool),
         z=jnp.full((H, W), 0.5, jnp.float32))
 
 

@@ -73,7 +73,8 @@ def test_gbuffer_debug_views():
                         cfg.width, cfg.height, True)
     vis = raster_xla.rasterize_xla(st.setup, cfg.width, cfg.height)
     pix = interpolate(vis, SCENE.tri_idx, SCENE.tri_mat, vout.varyings,
-                      SCENE.mat_row_base, SCENE.mat_tex_size)
+                      SCENE.mat_blk_base, SCENE.mat_blk_w,
+                      SCENE.mat_tex_size)
     gbuf = write_gbuffer(SCENE, pix, CAM.position)
     for which in ("normal", "albedo", "position", "depth"):
         img = np.asarray(gbuffer_debug_view(gbuf, which), np.float32)

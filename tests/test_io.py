@@ -68,15 +68,18 @@ def test_untextured_material_uses_default_normal_for_both():
     # cube.mtl has no map_Kd/map_Bump → both textures fall back to the
     # default normal map (reference src/resources.rs:105-163).
     scene = load_scene(f"{REF}/cube.obj")
-    rows = np.asarray(scene.tex_rows).astype(np.float32)  # stored bf16
+    # lane 0:3 of block row 0 = texel (0,0) RGB (see ops/sampling.py
+    # block-window layout); tables are stored bf16
+    drows = np.asarray(scene.tex_diffuse).astype(np.float32)
+    nrows = np.asarray(scene.tex_normal).astype(np.float32)
     # diffuse channels (pre-decoded sRGB of 128,128,255)
     from kanirenderer_tpu.io.scene_loader import _srgb_to_linear_np
     expect = _srgb_to_linear_np(np.array([128, 128, 255], np.float32) / 255)
-    np.testing.assert_allclose(rows[0, 0:3], expect, atol=4e-3)
+    np.testing.assert_allclose(drows[0, 0:3], expect, atol=4e-3)
     # Fallback textures skip the opengl flip/green-inversion: the reference
     # routes them through Texture::from_bytes, not from_opengl_bytes
     # (src/resources.rs:121 vs 132) — so the raw (128,128,255) remains.
-    np.testing.assert_allclose(rows[0, 12:15],
+    np.testing.assert_allclose(nrows[0, 0:3],
                                [128 / 255, 128 / 255, 255 / 255], atol=4e-3)
 
 

@@ -110,7 +110,8 @@ def render_band(scene: Scene, state: FrameState,
                 config: RenderConfig,
                 shadow_map: Array | None = None,
                 use_cached_shadow: Array | None = None,
-                *, band_h: int | None = None, y0=None) -> FrameOutputs:
+                *, shadow_table: Array | None = None,
+                band_h: int | None = None, y0=None) -> FrameOutputs:
     """The frame pipeline body, optionally restricted to a row band.
 
     This is the ONE implementation of the per-frame pass sequence; both
@@ -146,9 +147,16 @@ def render_band(scene: Scene, state: FrameState,
                             light_vp)
 
     # --- shadow pass (modes LitWithShadow/Debug, src/lib.rs:1721-1751) ---
-    # A host-cached map may be supplied (see render_shadow_map).
+    # A host-cached map — or, for LIT_SHADOW, the prebuilt PCF block
+    # TABLE (ops/sampling.build_shadow_table), which also skips the
+    # in-frame table rebuild — may be supplied (see render_shadow_map).
     needs_shadow = mode in (RenderMode.LIT_SHADOW, RenderMode.DEBUG)
-    external_shadow = shadow_map is not None and use_cached_shadow is None
+    external_shadow = (shadow_map is not None or shadow_table is not None) \
+        and use_cached_shadow is None
+    if shadow_table is not None:
+        assert (mode == RenderMode.LIT_SHADOW and shadow_map is None
+                and use_cached_shadow is None), \
+            "shadow_table is only valid for LIT_SHADOW without a raw map"
 
     def _fresh_shadow():
         sh_setup = triangle_setup(
@@ -158,7 +166,9 @@ def render_band(scene: Scene, state: FrameState,
             depth_bias_slope=cfg.shadow_bias_slope)
         return _rasterize_depth(sh_setup, cfg)
 
-    if not needs_shadow:
+    if shadow_table is not None:
+        shadow_emit = None
+    elif not needs_shadow:
         shadow_map = jnp.ones((cfg.shadow_dim, cfg.shadow_dim), jnp.float32)
         shadow_emit = shadow_map
     elif use_cached_shadow is not None:
@@ -205,7 +215,8 @@ def render_band(scene: Scene, state: FrameState,
     elif mode == RenderMode.LIT:
         color = forward.shade_lit(scene, pix, state.lights, None, cfg.hdr)
     else:  # LIT_SHADOW or DEBUG
-        shadow_tbl = build_shadow_table(shadow_map)
+        shadow_tbl = shadow_table if shadow_table is not None \
+            else build_shadow_table(shadow_map)
         color = forward.shade_lit(scene, pix, state.lights, shadow_tbl,
                                   cfg.hdr, cfg.shadow_dim)
 
@@ -243,7 +254,8 @@ def render_band(scene: Scene, state: FrameState,
 def render_frame(scene: Scene, state: FrameState,
                  config: RenderConfig,
                  shadow_map: Array | None = None,
-                 use_cached_shadow: Array | None = None) -> FrameOutputs:
+                 use_cached_shadow: Array | None = None,
+                 shadow_table: Array | None = None) -> FrameOutputs:
     """Render one full frame (jitted; one executable per static config).
 
     Shadow-map caching (steady-state interactive behavior; the reference
@@ -255,7 +267,8 @@ def render_frame(scene: Scene, state: FrameState,
     (see docs/PERFORMANCE.md).  With ``use_cached_shadow`` None the map is
     statically external (legacy two-executable path, used by tests).
     """
-    return render_band(scene, state, config, shadow_map, use_cached_shadow)
+    return render_band(scene, state, config, shadow_map, use_cached_shadow,
+                       shadow_table=shadow_table)
 
 
 def linearize_depth(depth: Array, znear: float, zfar: float) -> Array:

@@ -140,3 +140,20 @@ def test_point_light_array_contributes():
     d = np.asarray(out2.image) - np.asarray(base.image)
     fg = np.asarray(base.depth) < 1.0
     assert d[fg][:, 0].mean() > 1e-4  # red light adds red
+
+
+def test_external_shadow_table_matches_fresh():
+    """Passing the prebuilt PCF block table (the bench steady-state path,
+    which also skips the in-frame table rebuild) must reproduce the
+    fresh-shadow image exactly."""
+    from kanirenderer_tpu.ops.sampling import build_shadow_table
+    cfg = kani.RenderConfig(width=128, height=96,
+                            mode=kani.RenderMode.LIT_SHADOW, shadow_dim=256)
+    state = kani.frame_state(SCENE, OUTSIDE_CAM, LIGHTS)
+    ref = render_frame(SCENE, state, cfg)
+    tbl = build_shadow_table(ref.shadow)
+    out = render_frame(SCENE, state, cfg, shadow_table=tbl)
+    np.testing.assert_array_equal(np.asarray(out.image),
+                                  np.asarray(ref.image))
+    # external-shadow frames emit a zeros sentinel (no aliasing)
+    assert np.asarray(out.shadow).shape == (1, 1)

@@ -24,8 +24,10 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 # Number of triangles per binning chunk.  Triangles are Morton-ordered at scene
-# build so consecutive chunks are spatially compact.
-CHUNK_SIZE = 32
+# build so consecutive chunks are spatially compact.  Env-overridable for
+# perf experiments (scene packing and the raster kernel both honor it).
+import os as _os
+CHUNK_SIZE = int(_os.environ.get("KANI_CHUNK_SIZE", "32"))
 
 
 class RenderMode(enum.IntEnum):

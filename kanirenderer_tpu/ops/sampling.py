@@ -15,9 +15,10 @@ built as ONE wide row gather followed by lane-space multiply-reduce math
   bilinear footprint lives in one gathered row per texture, and the
   tables carry ~1.46 lanes/texel instead of the 2×2-row layout's 4 —
   keeping sponza-class texture sets inside the gather fast path.
-  Filtering is a separable-weight lane reduction (channels innermost →
-  one (…,35,3) reshape-sum yields RGB).  Matches the material sampler
-  state (reference src/texture.rs:162-173).
+  Filtering applies separable bilinear weights as a lane mask, then one
+  matmul against a constant (128, 3) channel selector reduces all three
+  channels in a single pass (MXU).  Matches the material sampler state
+  (reference src/texture.rs:162-173).
 * ``build_shadow_table`` / ``sample_shadow_pcf`` — the 3×3 PCF kernel of
   comparison taps (reference src/lib.rs:760-767, src/shader.wgsl:140-159)
   from an 8×8-block window table: row b = the clamp-padded 11×11 texel
@@ -32,6 +33,8 @@ built as ONE wide row gather followed by lane-space multiply-reduce math
 from __future__ import annotations
 
 import numpy as np
+
+import jax
 
 import jax.numpy as jnp
 
@@ -57,6 +60,10 @@ MAT_LANES = MAT_WINX * MAT_WINY * 3
 _MLANE = np.minimum(np.arange(128), MAT_LANES - 1)
 _MLANE_ROW = jnp.asarray(_MLANE // (MAT_WINX * 3), jnp.int32)
 _MLANE_COL = jnp.asarray((_MLANE // 3) % MAT_WINX, jnp.int32)
+# Per-channel lane-selector matrix (zero on the >MAT_LANES padding lanes).
+_MCH_T = jnp.asarray(
+    np.stack([(np.arange(128) % 3 == c) & (np.arange(128) < MAT_LANES)
+              for c in range(3)], axis=1), np.float32)  # (128, 3)
 
 
 def build_material_blocks(tex: "np.ndarray") -> "np.ndarray":
@@ -64,7 +71,7 @@ def build_material_blocks(tex: "np.ndarray") -> "np.ndarray":
 
     Row (by·bw + bx) holds the 7×5 window of block (by, bx) with Repeat
     (modulo) addressing baked in, lanes ordered (row, col, channel)
-    innermost-channel so samplers reduce with one (…, 35, 3) reshape.
+    innermost-channel to match the sampler's channel-selector matmul.
     Host-side numpy; runs once per texture at scene pack."""
     h, w = tex.shape[:2]
     bw = -(-w // MAT_BX)
@@ -85,9 +92,10 @@ def sample_materials_blocks(tex_diffuse: Array, tex_normal: Array,
     blk_base/blk_w/tw/th are per-pixel (H, W) i32 planes taken from the
     triangle records — no per-pixel parameter gathers happen here.  One
     row gather per texture; the separable bilinear weights become a lane
-    mask and RGB falls out of a (…, 35, 3) reshape-sum, so the gathers
-    stay on the fast path (no transpose consumer); accumulation is f32
-    regardless of the table dtype (bf16 in the packed Scene)."""
+    mask and one channel-selector matmul reduces RGB in a single pass, so
+    the gathers stay on the fast path (no transpose consumer, no
+    duplicated reductions); accumulation is f32 regardless of the table
+    dtype (bf16 in the packed Scene)."""
     tx = u * tw.astype(jnp.float32) - 0.5
     ty = v * th.astype(jnp.float32) - 0.5
     x0 = jnp.floor(tx)
@@ -110,13 +118,18 @@ def sample_materials_blocks(tex_diffuse: Array, tex_normal: Array,
         + jnp.where(dyv == 1, fy[..., None], 0.0)
     wgt = wx * wy
 
-    shape = u.shape
-
     def tex(tbl):
         win = jnp.take(tbl, row, axis=0)              # (H, W, 128)
-        s = (win.astype(jnp.float32) * wgt)[..., :MAT_LANES]
-        rgb = s.reshape(shape + (MAT_WINY * MAT_WINX, 3)).sum(-2)
-        return jnp.moveaxis(rgb, -1, 0)               # (3, H, W)
+        s = win.astype(jnp.float32) * wgt
+        # One matmul against the constant (128, 3) channel-selector does
+        # all three per-channel lane reductions in a single pass over the
+        # gathered data (per-channel masked .sum(-1) reductions made XLA
+        # duplicate the gather per consumer — 3× the traffic).
+        rgb = jax.lax.dot_general(
+            s.reshape(-1, 128), _MCH_T,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)      # (H·W, 3)
+        return jnp.moveaxis(rgb.reshape(u.shape + (3,)), -1, 0)
 
     return tex(tex_diffuse), tex(tex_normal)
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import os as _os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -26,8 +27,7 @@ Array = jnp.ndarray
 # Number of triangles per binning chunk.  Triangles are Morton-ordered at scene
 # build so consecutive chunks are spatially compact.  Env-overridable for
 # perf experiments (scene packing and the raster kernel both honor it).
-import os as _os
-CHUNK_SIZE = int(_os.environ.get("KANI_CHUNK_SIZE", "32"))
+CHUNK_SIZE = int(_os.environ.get("KANI_CHUNK_SIZE", "64"))
 
 
 class RenderMode(enum.IntEnum):

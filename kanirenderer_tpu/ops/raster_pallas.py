@@ -22,6 +22,7 @@ that makes rasterization parallelize on a dense-tensor machine.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -36,9 +37,9 @@ from kanirenderer_tpu.ops.vertex import NS, TriangleSetup
 
 Array = jnp.ndarray
 
-SUBBATCH = 8
+SUBBATCH = int(_os.environ.get("KANI_SUBBATCH", "16"))
 STRIP_H = 8   # strip rows for per-subbatch y-granular evaluation
-NBUF = 4      # chunk DMA pipeline depth
+NBUF = int(_os.environ.get("KANI_NBUF", "4"))  # chunk DMA pipeline depth
 _BIG = float("inf")
 
 # Chunk-row lane layout for the fused raster+interpolate kernel:
@@ -437,8 +438,12 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
         def _():
             local = jnp.where(mask, cand - s * CHUNK_SIZE, 0)
             chunk = chunk_buf[slot]       # (CHUNK_SIZE, 128)
-            padded = jnp.concatenate(
-                [chunk, jnp.zeros((128 - CHUNK_SIZE, 128), jnp.float32)])
+            if CHUNK_SIZE < 128:
+                padded = jnp.concatenate(
+                    [chunk,
+                     jnp.zeros((128 - CHUNK_SIZE, 128), jnp.float32)])
+            else:
+                padded = chunk
             ct = padded.T                  # (128 lanes->tri slots) per row
 
             def g(c):

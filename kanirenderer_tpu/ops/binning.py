@@ -64,11 +64,15 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     G = max_global_chunks
     num_tiles = tiles_x * tiles_y
 
-    b = bbox.reshape(C, CHUNK_SIZE, 4)
-    cx0 = b[..., 0].min(axis=1)
-    cy0 = b[..., 1].min(axis=1)
-    cx1 = b[..., 2].max(axis=1)
-    cy1 = b[..., 3].max(axis=1)
+    # One relayout to planar (4, T) first: reducing the (C, CHUNK, 4)
+    # row-major view costs ~10 ms at 257K triangles (a 4-wide minor dim
+    # leaves ~97% of each (8, 128) vector tile empty); planar reduces are
+    # ~free.
+    bt = bbox.T.reshape(4, C, CHUNK_SIZE)
+    cx0 = bt[0].min(axis=-1)
+    cy0 = bt[1].min(axis=-1)
+    cx1 = bt[2].max(axis=-1)
+    cy1 = bt[3].max(axis=-1)
     nonempty = (cx1 > cx0) & (cy1 > cy0)
 
     tx0 = jnp.clip((cx0 // tile_w).astype(jnp.int32), 0, tiles_x - 1)

@@ -283,8 +283,8 @@ def rasterize(st: TriangleSetup, config: RenderConfig,
 
 def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
                   th_ref, base_ref, bw_ref, tid_ref, list_smem, chunk_buf,
-                  cand_ref, list_sem, sem, *, tile_h, tile_w, tiles_x,
-                  wireframe, wire_thresh):
+                  cand_ref, win_smem, list_sem, sem, *, tile_h, tile_w,
+                  tiles_x, wireframe, wire_thresh):
     """Raster + interpolate in one pass over the tile's chunk list.
 
     Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
@@ -415,27 +415,42 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
     cand = cand_ref[:]
     win_s = cand // CHUNK_SIZE            # -1 stays -1 (floor division)
 
-    # Same NBUF-deep DMA pipeline as phase 1: streaming every chunk again
-    # costs negligible bandwidth (~16 KB/chunk) but hides the per-chunk
-    # DMA latency that a winners-only serial walk would expose; the LUT
-    # math below still runs only for chunks that won pixels.
+    # Compact the winner list-positions into SMEM: only a handful of the
+    # tile's chunks actually win pixels, so phase 2's DMA pipeline (and
+    # every per-chunk sync) runs over the compacted list instead of the
+    # full one.  The presence scan itself is cheap vector work.
+    def compact_body(s, cnt):
+        found = (win_s == s).any()
+
+        @pl.when(found)
+        def _(s=s, cnt=cnt):
+            win_smem[cnt // 128, cnt % 128] = s
+        return cnt + found.astype(jnp.int32)
+
+    nwin = jax.lax.fori_loop(0, count, compact_body, jnp.int32(0))
+
+    def get_ws(k):
+        return win_smem[k // 128, k % 128]
+
+    # NBUF-deep DMA pipeline over the compacted winner list.
     for w in range(NBUF - 1):
-        @pl.when(w < count)
+        @pl.when(w < nwin)
         def _(w=w):
-            dma(w % NBUF, get_cid(w)).start()
+            dma(w % NBUF, get_cid(get_ws(w))).start()
 
-    def interp_body(s, _):
-        slot = s % NBUF
+    def interp_body(k, _):
+        slot = k % NBUF
 
-        @pl.when(s + NBUF - 1 < count)
+        @pl.when(k + NBUF - 1 < nwin)
         def _():
-            dma((s + NBUF - 1) % NBUF, get_cid(s + NBUF - 1)).start()
+            dma((k + NBUF - 1) % NBUF,
+                get_cid(get_ws(k + NBUF - 1))).start()
 
+        s = get_ws(k)
         dma(slot, get_cid(s)).wait()
         mask = win_s == s
 
-        @pl.when(mask.any())
-        def _():
+        if True:
             local = jnp.where(mask, cand - s * CHUNK_SIZE, 0)
             chunk = chunk_buf[slot]       # (CHUNK_SIZE, 128)
             if CHUNK_SIZE < 128:
@@ -480,7 +495,7 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
                                    tid_ref[:])
         return 0
 
-    jax.lax.fori_loop(0, count, interp_body, 0)
+    jax.lax.fori_loop(0, nwin, interp_body, 0)
 
 
 def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
@@ -509,6 +524,7 @@ def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
             pltpu.SMEM((8, 128), jnp.int32),
             pltpu.VMEM((NBUF, CHUNK_SIZE, 128), jnp.float32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),
+            pltpu.SMEM((8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],

@@ -220,7 +220,7 @@ def _decode_scan(data, pos, comps, qt, hdc, hac, H, W, restart):
         c["hgt"] = mcuy * 8 * c["v"]
         c["plane"] = np.zeros((c["hgt"], c["w"]), np.float64)
         c["dc"] = 0
-        c["q"] = qt[c["tq"]][ZIGZAG]        # natural-order quant table
+        c["q"] = qt[c["tq"]]                # zigzag (scan) order, like zz
 
     r = _BitReader(data[pos:])
     zz = np.zeros(64, np.float64)

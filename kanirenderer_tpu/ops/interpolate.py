@@ -67,7 +67,7 @@ def interpolate(vis: VisBuffer, tri_idx: Array, tri_mat: Array,
     records = build_tri_records(tri_idx, tri_mat, varyings, mat_blk_base,
                                 mat_blk_w, mat_tex_size)
     tid = jnp.maximum(vis.tri, 0)
-    rec = jnp.take(records, tid, axis=0)        # (H, W, 3·USED+5)
+    rec = jnp.take(records, tid, axis=0)        # (H, W, 3·USED+6)
     l1 = vis.bary[..., 0]
     l2 = vis.bary[..., 1]
     planes = []

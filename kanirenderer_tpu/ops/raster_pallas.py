@@ -40,6 +40,12 @@ Array = jnp.ndarray
 SUBBATCH = int(_os.environ.get("KANI_SUBBATCH", "16"))
 STRIP_H = 8   # strip rows for per-subbatch y-granular evaluation
 NBUF = int(_os.environ.get("KANI_NBUF", "4"))  # chunk DMA pipeline depth
+# Guard the env-overridable geometry: a non-dividing subbatch would
+# silently drop each chunk's tail triangles; >128-triangle chunks break
+# the phase-2 128-lane LUT.
+assert CHUNK_SIZE % SUBBATCH == 0 and CHUNK_SIZE <= 128, \
+    f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be a multiple of " \
+    f"KANI_SUBBATCH={SUBBATCH} and at most 128"
 _BIG = float("inf")
 
 # Chunk-row lane layout for the fused raster+interpolate kernel:
@@ -450,49 +456,48 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
         dma(slot, get_cid(s)).wait()
         mask = win_s == s
 
-        if True:
-            local = jnp.where(mask, cand - s * CHUNK_SIZE, 0)
-            chunk = chunk_buf[slot]       # (CHUNK_SIZE, 128)
-            if CHUNK_SIZE < 128:
-                padded = jnp.concatenate(
-                    [chunk,
-                     jnp.zeros((128 - CHUNK_SIZE, 128), jnp.float32)])
-            else:
-                padded = chunk
-            ct = padded.T                  # (128 lanes->tri slots) per row
+        local = jnp.where(mask, cand - s * CHUNK_SIZE, 0)
+        chunk = chunk_buf[slot]       # (CHUNK_SIZE, 128)
+        if CHUNK_SIZE < 128:
+            padded = jnp.concatenate(
+                [chunk,
+                 jnp.zeros((128 - CHUNK_SIZE, 128), jnp.float32)])
+        else:
+            padded = chunk
+        ct = padded.T                  # (128 lanes->tri slots) per row
 
-            def g(c):
-                lut = jnp.broadcast_to(ct[c][None, :], (tile_h, tile_w))
-                return jnp.take_along_axis(lut, local, axis=1)
+        def g(c):
+            lut = jnp.broadcast_to(ct[c][None, :], (tile_h, tile_w))
+            return jnp.take_along_axis(lut, local, axis=1)
 
-            l0 = g(0) * X + g(1) * Y + g(2)
-            l1 = g(3) * X + g(4) * Y + g(5)
-            l2 = g(6) * X + g(7) * Y + g(8)
-            lsum = l0 + l1 + l2
-            lsafe = jnp.where(lsum != 0.0, lsum, 1e-30)
-            w1 = l1 / lsafe
-            w2 = l2 / lsafe
+        l0 = g(0) * X + g(1) * Y + g(2)
+        l1 = g(3) * X + g(4) * Y + g(5)
+        l2 = g(6) * X + g(7) * Y + g(8)
+        lsum = l0 + l1 + l2
+        lsafe = jnp.where(lsum != 0.0, lsum, 1e-30)
+        w1 = l1 / lsafe
+        w2 = l2 / lsafe
 
-            for c in range(USED):
-                v0 = g(REC0 + c)
-                v1 = g(REC0 + USED + c)
-                v2 = g(REC0 + 2 * USED + c)
-                val = v0 + (v1 - v0) * w1 + (v2 - v0) * w2
-                vary_ref[c] = jnp.where(mask, val, vary_ref[c])
+        for c in range(USED):
+            v0 = g(REC0 + c)
+            v1 = g(REC0 + USED + c)
+            v2 = g(REC0 + 2 * USED + c)
+            val = v0 + (v1 - v0) * w1 + (v2 - v0) * w2
+            vary_ref[c] = jnp.where(mask, val, vary_ref[c])
 
-            mat_ref[:] = jnp.where(mask, g(PAR0).astype(jnp.int32),
-                                   mat_ref[:])
-            tw_ref[:] = jnp.where(mask, g(PAR0 + 1).astype(jnp.int32),
-                                  tw_ref[:])
-            th_ref[:] = jnp.where(mask, g(PAR0 + 2).astype(jnp.int32),
-                                  th_ref[:])
-            base = (g(PAR0 + 3).astype(jnp.int32) * 65536
-                    + g(PAR0 + 4).astype(jnp.int32))
-            base_ref[:] = jnp.where(mask, base, base_ref[:])
-            bw_ref[:] = jnp.where(mask, g(PAR0 + 5).astype(jnp.int32),
-                                  bw_ref[:])
-            tid_ref[:] = jnp.where(mask, get_cid(s) * CHUNK_SIZE + local,
-                                   tid_ref[:])
+        mat_ref[:] = jnp.where(mask, g(PAR0).astype(jnp.int32),
+                               mat_ref[:])
+        tw_ref[:] = jnp.where(mask, g(PAR0 + 1).astype(jnp.int32),
+                              tw_ref[:])
+        th_ref[:] = jnp.where(mask, g(PAR0 + 2).astype(jnp.int32),
+                              th_ref[:])
+        base = (g(PAR0 + 3).astype(jnp.int32) * 65536
+                + g(PAR0 + 4).astype(jnp.int32))
+        base_ref[:] = jnp.where(mask, base, base_ref[:])
+        bw_ref[:] = jnp.where(mask, g(PAR0 + 5).astype(jnp.int32),
+                              bw_ref[:])
+        tid_ref[:] = jnp.where(mask, get_cid(s) * CHUNK_SIZE + local,
+                               tid_ref[:])
         return 0
 
     jax.lax.fori_loop(0, nwin, interp_body, 0)
@@ -541,7 +546,7 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
                      y0: Array | None = None) -> PixelBuffer:
     """Fused visibility raster + record interpolation (one Pallas launch).
 
-    ``records``: (T, 3·USED+5) per-triangle shading records from
+    ``records``: (T, 3·USED+6) per-triangle shading records from
     ops/interpolate.build_tri_records.  Returns the same PixelBuffer the
     XLA path (rasterize_xla → interpolate) produces, so shading and tests
     are backend-agnostic from here on.

@@ -47,6 +47,10 @@ _WIN = _B + 3
 _LANE_ROW = jnp.asarray(np.minimum(np.arange(128) // _WIN, _WIN - 1),
                         jnp.int32)
 _LANE_COL = jnp.asarray(np.arange(128) % _WIN, jnp.int32)
+# Zero weight on the 121..127 zero-padding lanes (their clamped row/col
+# aliases onto real window coordinates would otherwise pick up nonzero
+# weights and compare depth against the padding zeros).
+_LANE_OK = jnp.asarray(np.arange(128) < _WIN * _WIN, np.float32)
 
 
 # Material block-window geometry: 6×4-texel blocks, Repeat-wrapped 7×5
@@ -189,4 +193,4 @@ def sample_shadow_pcf(shadow_table: Array, dim: int, u: Array, v: Array,
     wx = (jnp.where(dxv == 0, 1.0 - fx[..., None], 0.0)
           + ((dxv == 1) | (dxv == 2)).astype(jnp.float32)
           + jnp.where(dxv == 3, fx[..., None], 0.0))
-    return (cmp * wy * wx).sum(-1) / 9.0
+    return (cmp * wy * (wx * _LANE_OK)).sum(-1) / 9.0

@@ -39,8 +39,10 @@ import jax
 import jax.numpy as jnp
 try:
     from jax import shard_map
-except ImportError:  # older jax
+    _SHARD_KW = {"check_vma": False}
+except ImportError:  # older jax: check_rep instead of check_vma
     from jax.experimental.shard_map import shard_map
+    _SHARD_KW = {"check_rep": False}
 from jax.sharding import Mesh, PartitionSpec as P
 
 from kanirenderer_tpu.core.types import FrameState, RenderConfig, Scene
@@ -70,7 +72,7 @@ def _render_sharded(scene: Scene, state: FrameState, config: RenderConfig,
     specs_in = (P(), P(), P())
     fn = shard_map(band, mesh=mesh, in_specs=specs_in,
                    out_specs=(P(axis, None, None), P(axis, None)),
-                   check_vma=False)
+                   **_SHARD_KW)
     image, depth = fn(scene, state, shadow_map)
     return FrameOutputs(image=image, depth=depth,
                         shadow=jnp.zeros((1, 1), jnp.float32))
@@ -110,7 +112,7 @@ def _render_sharded_fresh(scene: Scene, state: FrameState,
 
     fn = shard_map(band, mesh=mesh, in_specs=(P(), P()),
                    out_specs=(P(axis, None, None), P(axis, None)),
-                   check_vma=False)
+                   **_SHARD_KW)
     image, depth = fn(scene, state)
     return FrameOutputs(image=image, depth=depth,
                         shadow=jnp.zeros((1, 1), jnp.float32))

@@ -151,6 +151,18 @@ class InteractiveWindow:
                   lambda e: acc.button_press(e.num, e.x, e.y))
         root.bind("<ButtonRelease>", lambda e: acc.button_release(e.num))
         root.bind("<MouseWheel>", lambda e: acc.wheel(e.delta))
+        # Window resize → Events.resize → surface reconfigure (the
+        # reference's State::resize, src/lib.rs:1166).  Only report real
+        # size changes: tkinter fires <Configure> for moves too.
+        self._size = (width, height)
+
+        def _on_configure(e):
+            if (e.width, e.height) != self._size and e.width > 1 \
+                    and e.height > 1:
+                self._size = (e.width, e.height)
+                acc.configure(e.width, e.height)
+
+        root.bind("<Configure>", _on_configure)
         root.protocol("WM_DELETE_WINDOW", acc.close)
         if fullscreen:
             self.set_fullscreen(True)

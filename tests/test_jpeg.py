@@ -38,6 +38,17 @@ def test_444_bit_exact_vs_libjpeg():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_ac_coefficients_noise_image():
+    """Per-pixel noise exercises every AC coefficient (a blocky image has
+    all-zero AC, which once masked a dequantization-order bug)."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (64, 72, 3), np.uint8)
+    got, ref = _roundtrip(img, quality=90, subsampling=0)
+    d = np.abs(got.astype(int) - ref.astype(int))
+    # residual vs libjpeg is its integer IDCT vs our float one
+    assert d.max() <= 3 and d.mean() < 0.6, (d.max(), d.mean())
+
+
 @pytest.mark.parametrize("subsampling", [1, 2])  # 4:2:2, 4:2:0
 def test_subsampled_close_to_libjpeg(subsampling):
     got, ref = _roundtrip(_img(), quality=95, subsampling=subsampling)

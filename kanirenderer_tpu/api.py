@@ -50,7 +50,7 @@ def run(file_path: str = "", file_type: str = "opengl",
         mode: RenderMode = RenderMode.LIT_SHADOW,
         frames: int = 60, sink: str = "png", out: str | None = None,
         events=None, raster_backend: str | None = None,
-        verbose: bool = True) -> dict:
+        verbose: bool = True, profile_dir: str | None = None) -> dict:
     """Load + render loop (reference run(), src/lib.rs:2054-2168).
 
     Defaults match the reference: 1440×1080 window (src/lib.rs:2056),
@@ -58,7 +58,9 @@ def run(file_path: str = "", file_type: str = "opengl",
 
     Embedding hosts using the fixed-signature C ABI can override the
     headless runtime via env vars: KANI_WIDTH, KANI_HEIGHT, KANI_FRAMES,
-    KANI_SINK (png|gif|window|null), KANI_OUT, KANI_MODE.
+    KANI_SINK (png|gif|window|null), KANI_OUT, KANI_MODE, KANI_PROFILE
+    (a directory: write a jax.profiler trace of the run — the deep
+    companion to the on-screen frame-time graph, SURVEY §5.1).
     """
     width = int(os.environ.get("KANI_WIDTH", width))
     height = int(os.environ.get("KANI_HEIGHT", height))
@@ -67,6 +69,7 @@ def run(file_path: str = "", file_type: str = "opengl",
     out = os.environ.get("KANI_OUT", out)
     if "KANI_MODE" in os.environ:
         mode = RenderMode[os.environ["KANI_MODE"].upper()]
+    profile_dir = os.environ.get("KANI_PROFILE", profile_dir)
     scene, builder = load_model_or_default(file_path, file_type)
     if raster_backend is None:
         import jax
@@ -95,11 +98,19 @@ def run(file_path: str = "", file_type: str = "opengl",
                 print(f"no display ({e!r}); falling back to scripted events")
     if events is None:
         events = scripted_flythrough(frames)
-    stats = run_loop(scene, events, config=cfg, sink_kind=sink,
-                     sink_path=out,
-                     max_frames=frames if frames > 0 else None,
-                     verbose=verbose,
-                     builder=builder, file_type=file_type, sink=sink_obj)
+    def _go():
+        return run_loop(scene, events, config=cfg, sink_kind=sink,
+                        sink_path=out,
+                        max_frames=frames if frames > 0 else None,
+                        verbose=verbose,
+                        builder=builder, file_type=file_type, sink=sink_obj)
+
+    if profile_dir:
+        import jax
+        with jax.profiler.trace(profile_dir):
+            stats = _go()
+    else:
+        stats = _go()
     if verbose:
         print(f"rendered {stats['frames']} frames, "
               f"{stats['mean_ms']:.2f} ms avg ({stats['fps']:.1f} FPS), "

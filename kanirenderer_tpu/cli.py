@@ -47,6 +47,8 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=None, help="output path for png/gif")
     ap.add_argument("--backend", default=None, choices=["xla", "pallas"],
                     help="raster backend override")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the run to DIR")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -57,7 +59,7 @@ def main(argv=None) -> int:
             width=args.width, height=args.height,
             mode=RenderMode[args.mode.upper()], frames=args.frames,
             sink=args.sink, out=args.out, raster_backend=args.backend,
-            verbose=not args.quiet)
+            verbose=not args.quiet, profile_dir=args.profile)
     return 0
 
 

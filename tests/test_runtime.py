@@ -189,3 +189,15 @@ def test_resize_event_changes_output_size():
         loop_mod.make_sink = orig
     assert frames[0] == (24, 32, 3)
     assert frames[1] == (32, 48, 3)
+
+
+def test_profile_trace_written(tmp_path):
+    """--profile / KANI_PROFILE wraps the run in a jax.profiler trace
+    (SURVEY §5.1: the deep companion to the frame-time overlay)."""
+    import os
+    from kanirenderer_tpu import api
+    d = tmp_path / "trace"
+    api.run("", "opengl", frames=1, sink="null", width=64, height=64,
+            verbose=False, profile_dir=str(d))
+    found = [f for _, _, fs in os.walk(d) for f in fs]
+    assert found, "no profiler trace files written"

@@ -591,18 +591,30 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
                        z=z[:H, :W])
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def rasterize_depth(st: TriangleSetup, config: RenderConfig) -> Array:
-    """Depth-only shadow-map raster (tiles over the shadow_dim square)."""
+@functools.partial(jax.jit, static_argnames=("config", "band_h"))
+def rasterize_depth(st: TriangleSetup, config: RenderConfig,
+                    band_h: int | None = None, y0=None) -> Array:
+    """Depth-only shadow-map raster (tiles over the shadow_dim square).
+
+    ``band_h``/``y0`` restrict output to map rows [y0, y0+band_h) for the
+    multi-chip sharded shadow pass — same traced-offset re-anchoring as
+    ``rasterize_pixels``."""
     cfg = config
     dim = cfg.shadow_dim
     th = cfg.shadow_tile_h
+    setup, bbox = st.setup, st.bbox
+    H = dim if band_h is None else band_h
+    if y0 is not None:
+        y0f = jnp.asarray(y0, jnp.float32)
+        cols = jnp.array([2, 5, 8, 11, 14])
+        setup = setup.at[:, cols].add(setup[:, cols - 1] * y0f)
+        bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
     tiles_x = -(-dim // cfg.tile_w)
-    tiles_y = -(-dim // th)
+    tiles_y = -(-H // th)
     bins = binning.bin_chunks(
-        st.bbox, tiles_x, tiles_y, cfg.tile_w, th,
+        bbox, tiles_x, tiles_y, cfg.tile_w, th,
         cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
         cfg.max_global_chunks)
-    (z,) = _run(st.setup, st.bbox, bins, dim, dim, cfg.tile_w, th,
+    (z,) = _run(setup, bbox, bins, dim, H, cfg.tile_w, th,
                 False, 0.0, True)
-    return z[:dim, :dim]
+    return z[:H, :dim]

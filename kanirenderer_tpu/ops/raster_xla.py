@@ -128,17 +128,22 @@ def rasterize_xla(setup: Array, width: int, height: int,
     return VisBuffer(tri=tri, z=zbuf, bary=jnp.stack([b1, b2], -1))
 
 
-@partial(jax.jit, static_argnames=("dim", "batch"))
-def rasterize_depth_xla(setup: Array, dim: int, batch: int = 16) -> Array:
+@partial(jax.jit, static_argnames=("dim", "batch", "band_h"))
+def rasterize_depth_xla(setup: Array, dim: int, batch: int = 16,
+                        band_h: int | None = None, y_offset=0.0) -> Array:
     """Depth-only square raster for the shadow pass (reference
-    src/lib.rs:1721-1751: 2048² Depth32Float cleared to 1.0)."""
+    src/lib.rs:1721-1751: 2048² Depth32Float cleared to 1.0).
+
+    ``band_h``/``y_offset`` restrict output to map rows
+    [y_offset, y_offset+band_h) — the multi-chip sharded shadow pass
+    (parallel/mesh.py)."""
     T = setup.shape[0]
     pad = (-T) % batch
     if pad:
         setup = jnp.concatenate(
             [setup, jnp.zeros((pad, setup.shape[1]), setup.dtype)])
     chunks = setup.reshape(-1, batch, setup.shape[1])
-    X, Y = _pixel_grid(dim, dim)
+    X, Y = _pixel_grid(dim, dim if band_h is None else band_h, y_offset)
 
     def body(zbuf, chunk):
         r = chunk[:, 0:9].reshape(batch, 3, 3)
@@ -156,5 +161,8 @@ def rasterize_depth_xla(setup: Array, dim: int, batch: int = 16) -> Array:
         zc = jnp.where(covered, z, jnp.inf).min(axis=0)
         return jnp.minimum(zbuf, jnp.where(jnp.isfinite(zc), zc, 1.0)), None
 
-    zbuf, _ = jax.lax.scan(body, jnp.ones((dim, dim), jnp.float32), chunks)
+    zbuf, _ = jax.lax.scan(
+        body,
+        jnp.ones((dim if band_h is None else band_h, dim), jnp.float32),
+        chunks)
     return zbuf

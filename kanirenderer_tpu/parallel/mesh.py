@@ -15,16 +15,19 @@ Design (SURVEY §5.8):
   the band's tile binning makes off-band triangles nearly free, and every
   backend (Pallas tile kernel on TPU, XLA oracle elsewhere), render mode,
   and the deferred pipeline work sharded;
-* the shadow map is computed replicated (identical on every chip —
-  again zero communication, and it is camera-independent); a host-cached
-  map may be passed in exactly like the single-chip path;
+* a FRESH shadow map is itself row-sharded: each chip rasters its band
+  of the light-space map and one ICI ``all_gather`` assembles the full
+  (replicated) map — the only per-frame collective, amortizing the
+  shadow raster across chips; a host-cached map may be passed in
+  exactly like the single-chip path (then there is no collective);
 * frame assembly is just the sharded output array: `jax.device_get`
   performs one device→host DMA per band (or leave it sharded for a
   sharded display/encoder).
 
-Collectives: none per frame.  That is the point — the renderer is
-embarrassingly data-parallel over pixels, so the mesh buys nearly linear
-scaling until the per-chip band becomes overhead-bound.
+Collectives: one shadow-map ``all_gather`` per frame in fresh-shadow
+mode, none otherwise.  The renderer is embarrassingly data-parallel over
+pixels, so the mesh buys nearly linear scaling until the per-chip band
+becomes overhead-bound.
 
 Limitation: the DEBUG mode's overlay composites (depth quad, frame-time
 graph) anchor to absolute screen corners with static slices and are
@@ -107,7 +110,9 @@ def _render_sharded_fresh(scene: Scene, state: FrameState,
 
     def band(scene, state):
         y0 = (jax.lax.axis_index(axis) * band_h).astype(jnp.float32)
-        out = render_band(scene, state, config, band_h=band_h, y0=y0)
+        out = render_band(scene, state, config, band_h=band_h, y0=y0,
+                          shadow_axis=axis,
+                          shadow_bands=mesh.devices.size)
         return out.image, out.depth
 
     fn = shard_map(band, mesh=mesh, in_specs=(P(), P()),

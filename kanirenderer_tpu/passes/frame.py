@@ -72,11 +72,14 @@ def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
                        scene.mat_tex_size)
 
 
-def _rasterize_depth(st, cfg: RenderConfig):
+def _rasterize_depth(st, cfg: RenderConfig, band_h: int | None = None,
+                     y0=None):
     if cfg.raster_backend == "pallas":
         from kanirenderer_tpu.ops import raster_pallas
-        return raster_pallas.rasterize_depth(st, cfg)
-    return raster_xla.rasterize_depth_xla(st.setup, cfg.shadow_dim)
+        return raster_pallas.rasterize_depth(st, cfg, band_h=band_h, y0=y0)
+    return raster_xla.rasterize_depth_xla(
+        st.setup, cfg.shadow_dim, band_h=band_h,
+        y_offset=0.0 if y0 is None else y0)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -111,7 +114,9 @@ def render_band(scene: Scene, state: FrameState,
                 shadow_map: Array | None = None,
                 use_cached_shadow: Array | None = None,
                 *, shadow_table: Array | None = None,
-                band_h: int | None = None, y0=None) -> FrameOutputs:
+                band_h: int | None = None, y0=None,
+                shadow_axis: str | None = None,
+                shadow_bands: int = 1) -> FrameOutputs:
     """The frame pipeline body, optionally restricted to a row band.
 
     This is the ONE implementation of the per-frame pass sequence; both
@@ -125,6 +130,12 @@ def render_band(scene: Scene, state: FrameState,
     screen rows [y0, y0+band_h).  Banded rendering skips the DEBUG-mode
     overlay composites (they anchor to absolute screen corners with
     static slices); DEBUG shading itself still works.
+
+    ``shadow_axis``/``shadow_bands``: under shard_map, also shard the
+    FRESH shadow raster — each chip rasters shadow_dim/shadow_bands map
+    rows and an ICI ``all_gather`` over ``shadow_axis`` assembles the
+    full map on every chip (instead of every chip redundantly rendering
+    all of it).  The gathered map is bit-identical to the unsharded one.
     """
     cfg = config
     mode = cfg.mode
@@ -164,7 +175,14 @@ def render_band(scene: Scene, state: FrameState,
             cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
             depth_bias_constant=cfg.shadow_bias_constant,
             depth_bias_slope=cfg.shadow_bias_slope)
-        return _rasterize_depth(sh_setup, cfg)
+        if shadow_axis is None or shadow_bands <= 1:
+            return _rasterize_depth(sh_setup, cfg)
+        assert cfg.shadow_dim % shadow_bands == 0, \
+            "shadow_dim must divide across the mesh"
+        sb_h = cfg.shadow_dim // shadow_bands
+        sy0 = (jax.lax.axis_index(shadow_axis) * sb_h).astype(jnp.float32)
+        band = _rasterize_depth(sh_setup, cfg, band_h=sb_h, y0=sy0)
+        return jax.lax.all_gather(band, shadow_axis, axis=0, tiled=True)
 
     if shadow_table is not None:
         shadow_emit = None

@@ -126,3 +126,31 @@ def test_pallas_shadow_depth_matches_xla():
     zx = raster_xla.rasterize_depth_xla(st.setup, cfg.shadow_dim)
     zp = raster_pallas.rasterize_depth(st, cfg)
     np.testing.assert_allclose(np.asarray(zx), np.asarray(zp), atol=1e-6)
+
+
+def test_overflow_diagnostic_counts_dropped_chunks():
+    """TileBins.overflow reports capacity drops (ADVICE r1: silent
+    truncation would make missing geometry untraceable)."""
+    import jax.numpy as jnp
+    from kanirenderer_tpu.core.types import CHUNK_SIZE
+    from kanirenderer_tpu.ops import binning
+
+    # 8 chunks all covering the same single tile; cap the per-tile list
+    # at 2 → 6 drops reported.
+    T = 8 * CHUNK_SIZE
+    bbox = jnp.tile(jnp.asarray([[0.0, 0.0, 64.0, 8.0]], jnp.float32),
+                    (T, 1))
+    bins = binning.bin_chunks(bbox, 1, 1, 128, 8,
+                              max_tiles_per_chunk=4,
+                              max_chunks_per_tile=2,
+                              max_global_chunks=4)
+    assert int(bins.overflow) == 6
+    assert int(bins.tile_counts[0, 0]) == 2
+
+    # ample caps → no drops
+    bins2 = binning.bin_chunks(bbox, 1, 1, 128, 8,
+                               max_tiles_per_chunk=4,
+                               max_chunks_per_tile=16,
+                               max_global_chunks=4)
+    assert int(bins2.overflow) == 0
+    assert int(bins2.tile_counts[0, 0]) == 8

@@ -40,6 +40,10 @@ Array = jnp.ndarray
 SUBBATCH = int(_os.environ.get("KANI_SUBBATCH", "16"))
 STRIP_H = 8   # strip rows for per-subbatch y-granular evaluation
 NBUF = int(_os.environ.get("KANI_NBUF", "4"))  # chunk DMA pipeline depth
+# Per-subbatch bbox rejection can be disabled for measurement: at large
+# CHUNK sizes the any()-reduce + branch per subbatch may cost more than
+# the skipped evaluations save.
+SUBBATCH_SKIP = _os.environ.get("KANI_SUBBATCH_SKIP", "1") != "0"
 # Guard the env-overridable geometry: a non-dividing subbatch would
 # silently drop each chunk's tail triangles; >128-triangle chunks break
 # the phase-2 128-lane LUT.
@@ -198,6 +202,10 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
 
         for b in range(CHUNK_SIZE // SUBBATCH):
             rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
+
+            if not SUBBATCH_SKIP:
+                eval_subbatch(rows, cid, b)
+                continue
 
             # Subbatch rejection: skip the pixel evaluation when none of
             # these triangles' bboxes (setup lanes 16:20) touch this tile.
@@ -396,6 +404,11 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
         chunk = chunk_buf[slot]
         for b in range(CHUNK_SIZE // SUBBATCH):
             rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
+
+            if not SUBBATCH_SKIP:
+                eval_subbatch(rows, s, b)
+                continue
+
             overlap = ((rows[:, NS + 0] < tx0f + tile_w)
                        & (rows[:, NS + 2] > tx0f)
                        & (rows[:, NS + 1] < ty0f + tile_h)

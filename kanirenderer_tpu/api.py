@@ -50,7 +50,8 @@ def run(file_path: str = "", file_type: str = "opengl",
         mode: RenderMode = RenderMode.LIT_SHADOW,
         frames: int = 60, sink: str = "png", out: str | None = None,
         events=None, raster_backend: str | None = None,
-        verbose: bool = True, profile_dir: str | None = None) -> dict:
+        verbose: bool = True, profile_dir: str | None = None,
+        point_lights: int = 1) -> dict:
     """Load + render loop (reference run(), src/lib.rs:2054-2168).
 
     Defaults match the reference: 1440×1080 window (src/lib.rs:2056),
@@ -103,7 +104,8 @@ def run(file_path: str = "", file_type: str = "opengl",
                         sink_path=out,
                         max_frames=frames if frames > 0 else None,
                         verbose=verbose,
-                        builder=builder, file_type=file_type, sink=sink_obj)
+                        builder=builder, file_type=file_type, sink=sink_obj,
+                        point_lights=point_lights)
 
     if profile_dir:
         import jax

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=None, help="output path for png/gif")
     ap.add_argument("--backend", default=None, choices=["xla", "pallas"],
                     help="raster backend override")
+    ap.add_argument("--point-lights", type=int, default=1, metavar="N",
+                    help="spawn N random point lights (the reference's "
+                         "disabled light spawner, src/lib.rs:453-512; "
+                         "N>=50 adds green+blue sets)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
     ap.add_argument("--quiet", action="store_true")
@@ -59,7 +63,8 @@ def main(argv=None) -> int:
             width=args.width, height=args.height,
             mode=RenderMode[args.mode.upper()], frames=args.frames,
             sink=args.sink, out=args.out, raster_backend=args.backend,
-            verbose=not args.quiet, profile_dir=args.profile)
+            verbose=not args.quiet, profile_dir=args.profile,
+            point_lights=args.point_lights)
     return 0
 
 

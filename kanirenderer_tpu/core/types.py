@@ -265,6 +265,42 @@ def default_lights(num_point_lights: int = 1) -> Lights:
     return Lights(movable=movable, points=points, directional=directional)
 
 
+def spawn_point_lights(num: int, rng=None) -> PointLights:
+    """The reference's (disabled) random light spawner made real
+    (src/lib.rs:453-512): slot 0 is the far black dummy light; slots
+    1..num-1 are RED lights (color [10,0,0], range 256) at random
+    positions x,z ∈ [-1000, 1000), y ∈ [10, 15); with num >= 50 a GREEN
+    and a BLUE set of ``num`` lights each are appended
+    (src/lib.rs:480-509) — 3·num lights total, as the reference would.
+    """
+    import numpy as np
+    rng = rng or np.random.RandomState(0)
+
+    def rand_pos(n):
+        p = np.empty((n, 3), np.float32)
+        p[:, 0] = rng.uniform(-1000.0, 1000.0, n)
+        p[:, 1] = rng.uniform(10.0, 15.0, n)
+        p[:, 2] = rng.uniform(-1000.0, 1000.0, n)
+        return p
+
+    num = max(int(num), 1)
+    pos = rand_pos(num)
+    pos[0] = [99999.0, 999999.0, 99999.0]          # the dummy seed light
+    col = np.tile(np.array([10.0, 0.0, 0.0], np.float32), (num, 1))
+    col[0] = 0.0
+    rngs = np.full(num, 256.0, np.float32)
+    rngs[0] = 0.0
+    if num >= 50:
+        pos = np.concatenate([pos, rand_pos(num), rand_pos(num)])
+        col = np.concatenate([
+            col,
+            np.tile(np.array([0.0, 10.0, 0.0], np.float32), (num, 1)),
+            np.tile(np.array([0.0, 0.0, 10.0], np.float32), (num, 1))])
+        rngs = np.concatenate([rngs, np.full(2 * num, 256.0, np.float32)])
+    return PointLights(position=jnp.asarray(pos), color=jnp.asarray(col),
+                       range=jnp.asarray(rngs))
+
+
 def default_camera() -> CameraState:
     """Initial pose (reference src/lib.rs:382)."""
     return CameraState(

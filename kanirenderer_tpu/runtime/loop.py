@@ -110,7 +110,8 @@ def run_loop(scene: Scene, events: Iterable[Events],
              sink_kind: str = "null", sink_path: str | None = None,
              max_frames: int | None = None,
              verbose: bool = False, builder=None,
-             file_type: str = "opengl", sink=None) -> dict:
+             file_type: str = "opengl", sink=None,
+             point_lights: int = 1) -> dict:
     """Drive frames from an event stream.  Returns run statistics.
 
     ``builder``: the SceneBuilder that produced ``scene`` — required to
@@ -121,8 +122,11 @@ def run_loop(scene: Scene, events: Iterable[Events],
     is also the event source); overrides ``sink_kind``.
     """
     cfg = config or RenderConfig()
-    app = AppState(config=cfg, camera=default_camera(),
-                   lights=default_lights())
+    lights = default_lights()
+    if point_lights > 1:
+        from kanirenderer_tpu.core.types import spawn_point_lights
+        lights = lights._replace(points=spawn_point_lights(point_lights))
+    app = AppState(config=cfg, camera=default_camera(), lights=lights)
     if sink is None:
         sink = make_sink(sink_kind, sink_path, cfg.width, cfg.height)
     graph = FrameTimeGraph()

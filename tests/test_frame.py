@@ -157,3 +157,37 @@ def test_external_shadow_table_matches_fresh():
                                   np.asarray(ref.image))
     # external-shadow frames emit a zeros sentinel (no aliasing)
     assert np.asarray(out.shadow).shape == (1, 1)
+
+
+def test_spawned_point_lights_light_the_scene():
+    """The reference's disabled random light spawner made real
+    (src/lib.rs:453-512): slot 0 dummy; red lights appear; >=50 adds
+    green+blue sets; spawned lights actually contribute shading."""
+    from kanirenderer_tpu.core.types import spawn_point_lights
+    import numpy as np
+
+    p = spawn_point_lights(5)
+    assert p.position.shape == (5, 3)
+    np.testing.assert_allclose(np.asarray(p.color[0]), 0.0)  # dummy black
+    np.testing.assert_allclose(np.asarray(p.color[1]), [10.0, 0.0, 0.0])
+    assert float(p.range[1]) == 256.0
+
+    p50 = spawn_point_lights(50)
+    assert p50.position.shape == (150, 3)                    # r+g+b sets
+    np.testing.assert_allclose(np.asarray(p50.color[50]), [0.0, 10.0, 0.0])
+    np.testing.assert_allclose(np.asarray(p50.color[100]), [0.0, 0.0, 10.0])
+
+    # a light near the cube changes the LIT image vs the dummy-only rig
+    cfg = kani.RenderConfig(width=64, height=48, mode=kani.RenderMode.LIT,
+                            shadow_dim=128)
+    lights = LIGHTS
+    base = render_frame(SCENE, kani.frame_state(SCENE, OUTSIDE_CAM, lights),
+                        cfg)
+    pts = spawn_point_lights(2)
+    pts = pts._replace(position=pts.position.at[1].set(
+        jnp.asarray([40.0, 60.0, 40.0])))
+    lit = render_frame(
+        SCENE, kani.frame_state(
+            SCENE, OUTSIDE_CAM, lights._replace(points=pts)), cfg)
+    assert float(np.abs(np.asarray(lit.image)
+                        - np.asarray(base.image)).max()) > 0.01

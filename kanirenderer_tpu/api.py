@@ -31,14 +31,22 @@ def load_model_or_default(file_path: str, file_type: str = "opengl",
     from kanirenderer_tpu.models.procedural import make_cube_obj
 
     builder = SceneBuilder()
+    parsed = None
+    tex_dir = "."
     if file_path and os.path.exists(file_path):
-        parsed = obj_mod.load_obj(file_path)
-        tex_dir = os.path.dirname(os.path.abspath(file_path))
-    else:
-        if file_path:
-            print(f"{file_path!r} not found, using default cube")
+        # ANY load error → default cube, like the reference's
+        # .unwrap_or(load_default_cube) (src/resources.rs:76-79).
+        try:
+            parsed = obj_mod.load_obj(file_path)
+            tex_dir = os.path.dirname(os.path.abspath(file_path))
+        except Exception as e:
+            print(f"failed to load {file_path!r} ({e!r}), using default cube")
+            parsed = None
+            tex_dir = "."
+    elif file_path:
+        print(f"{file_path!r} not found, using default cube")
+    if parsed is None:
         parsed = obj_mod.parse_obj(make_cube_obj(), mtl_loader=lambda p: None)
-        tex_dir = "."
     builder.add_model(parsed, tex_dir, file_type=file_type,
                       instances=instances, rng=np.random.RandomState(0))
     return builder.build(), builder

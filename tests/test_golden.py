@@ -111,3 +111,14 @@ def test_golden_reference_textures():
     img = _render(dict(mode=kani.RenderMode.LIT_SHADOW), scene=scene,
                   width=256, height=192)
     _check_golden(img, "bricks_lit_shadow")
+
+
+def test_golden_reference_textures_deferred():
+    """Deferred pipeline over real reference textures (G-buffer albedo
+    quantization + world-space lighting differ from the forward path)."""
+    if not os.path.exists("/root/reference/res/textures"):
+        pytest.skip("reference textures unavailable")
+    scene = _bricks_scene()
+    img = _render(dict(mode=kani.RenderMode.LIT_SHADOW, deferred=True),
+                  scene=scene, width=256, height=192)
+    _check_golden(img, "bricks_deferred")

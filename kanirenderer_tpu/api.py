@@ -41,8 +41,6 @@ def load_model_or_default(file_path: str, file_type: str = "opengl",
             tex_dir = os.path.dirname(os.path.abspath(file_path))
         except Exception as e:
             print(f"failed to load {file_path!r} ({e!r}), using default cube")
-            parsed = None
-            tex_dir = "."
     elif file_path:
         print(f"{file_path!r} not found, using default cube")
     if parsed is None:

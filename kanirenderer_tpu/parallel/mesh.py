@@ -42,10 +42,15 @@ import jax
 import jax.numpy as jnp
 try:
     from jax import shard_map
-    _SHARD_KW = {"check_vma": False}
-except ImportError:  # older jax: check_rep instead of check_vma
+except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
-    _SHARD_KW = {"check_rep": False}
+import inspect as _inspect
+# The replication-check kwarg was renamed check_rep -> check_vma; probe
+# the actual signature rather than inferring from the import location.
+_SHARD_KW = (
+    {"check_vma": False}
+    if "check_vma" in _inspect.signature(shard_map).parameters
+    else {"check_rep": False})
 from jax.sharding import Mesh, PartitionSpec as P
 
 from kanirenderer_tpu.core.types import FrameState, RenderConfig, Scene

@@ -157,6 +157,10 @@ class InteractiveWindow:
         self._size = (width, height)
 
         def _on_configure(e):
+            # toplevel bindings receive every descendant's <Configure>;
+            # only the window's own size changes are resizes
+            if e.widget is not root:
+                return
             if (e.width, e.height) != self._size and e.width > 1 \
                     and e.height > 1:
                 self._size = (e.width, e.height)

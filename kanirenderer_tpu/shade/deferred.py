@@ -137,8 +137,15 @@ def deferred_lighting(gbuf: GBuffer, lights: Lights,
     acc = acc + dl_term
 
     p = lights.points
-    for k in range(p.position.shape[0]):
-        acc = acc + point_light_term(p.position[k], p.color[k], p.range[k])
+    if p.position.shape[0] <= 4:
+        for k in range(p.position.shape[0]):
+            acc = acc + point_light_term(p.position[k], p.color[k],
+                                         p.range[k])
+    else:
+        # spawned-light rigs: scan keeps compile time O(1) in light count
+        acc, _ = jax.lax.scan(
+            lambda a, l: (a + point_light_term(*l), None),
+            acc, (p.position, p.color, p.range))
 
     result = acc * albedo
     return aces_tonemap(result) if hdr else reinhard_tonemap(result)

@@ -152,15 +152,15 @@ def shade_lit(scene: Scene, pix: PixelBuffer, lights: Lights,
         dl_term = dl_term * shadow[None]
     dl_term = dl_term * object_color
 
-    # --- point-light storage array (loop over P lights; P is small) ---
+    # --- point-light storage array (reference src/shader.wgsl:225-257) ---
     t_row = vary[TBN_T]
     b_row = vary[TBN_B]
     n_row = vary[TBN_N]
     p = lights.points
     P = p.position.shape[0]
-    points_term = jnp.zeros((3,) + shape, jnp.float32)
-    for k in range(P):
-        lp = p.position[k]
+
+    def one_light(acc, light):
+        lp, pcol3, prange = light
         pdvec = lp[:, None, None] - world_pos
         pdist = jnp.sqrt(jnp.maximum(_dot3(pdvec, pdvec), 1e-30))
         # tangent-space light position: TBN rows · light_pos
@@ -170,13 +170,29 @@ def shade_lit(scene: Scene, pix: PixelBuffer, lights: Lights,
             n_row[0] * lp[0] + n_row[1] * lp[1] + n_row[2] * lp[2],
         ])
         pl_dir = _norm3(tl - tan_pos)
-        pcol = p.color[k][:, None, None]
+        pcol = pcol3[:, None, None]
         # NOTE: loop lights use the unnormalized tangent normal
         # (reference src/shader.wgsl:242).
         pdiff, pspec = _blinn_phong(tangent_normal_raw, pl_dir, view_dir,
                                     pcol)
-        patt = _attenuation(pdist, p.range[k])
-        points_term = points_term + (pdiff + pspec) * patt[None]
+        patt = _attenuation(pdist, prange)
+        return acc + (pdiff + pspec) * patt[None]
+
+    init = jnp.zeros((3,) + shape, jnp.float32)
+    if P <= 4:
+        # small arrays unroll (XLA fuses the whole sum)
+        points_term = init
+        for k in range(P):
+            points_term = one_light(points_term,
+                                    (p.position[k], p.color[k], p.range[k]))
+    else:
+        # spawned-light rigs (tens to hundreds of lights, reference
+        # src/lib.rs:453-512): lax.scan keeps the traced graph and the
+        # compile time O(1) in the light count; the sequential
+        # accumulation order matches the unrolled loop exactly.
+        points_term, _ = jax.lax.scan(
+            lambda acc, light: (one_light(acc, light), None),
+            init, (p.position, p.color, p.range))
     points_term = points_term * object_color
 
     result = ambient_term + dl_term + movable_term + points_term

@@ -66,3 +66,41 @@ def test_ambient_constant():
     # vec3(20)*0.0005 = 0.01 (reference src/shader.wgsl:179-181): a fully
     # unlit pixel of a white surface ends at reinhard(0.01 + movable-term).
     assert abs(20.0 * 0.0005 - 0.01) < 1e-9
+
+
+def test_point_light_scan_matches_unrolled():
+    """The >4-light lax.scan path accumulates in the same order as the
+    unrolled loop — identical results, O(1) trace size (review finding:
+    --point-lights 50 used to unroll 150 full-frame light blocks)."""
+    import numpy as np
+    import kanirenderer_tpu as kani
+    from kanirenderer_tpu.core.types import spawn_point_lights
+    from kanirenderer_tpu.passes.frame import render_frame
+
+    from kanirenderer_tpu.models.procedural import cube_scene
+    scene = cube_scene()
+    cam = kani.CameraState(
+        position=jnp.array([60.0, 45.0, 80.0], jnp.float32),
+        yaw=jnp.float32(np.deg2rad(-127.0)),
+        pitch=jnp.float32(np.deg2rad(-20.0)))
+    cfg = kani.RenderConfig(width=64, height=48, mode=kani.RenderMode.LIT,
+                            shadow_dim=128)
+    pts8 = spawn_point_lights(8)
+
+    # scan path (6 lights, 3 real + 3 black = exactly-zero terms) must
+    # match the unrolled path (3 lights) — same math, same order
+    from kanirenderer_tpu.core.types import PointLights
+    pts3 = PointLights(position=pts8.position[:3], color=pts8.color[:3],
+                       range=pts8.range[:3])
+    pts3_pad = PointLights(
+        position=jnp.concatenate([pts8.position[:3]] * 2)[:6],
+        color=jnp.concatenate(
+            [pts8.color[:3], jnp.zeros((3, 3), jnp.float32)]),
+        range=jnp.concatenate([pts8.range[:3]] * 2)[:6])
+    l3 = kani.default_lights()._replace(points=pts3)        # unrolled
+    l6 = kani.default_lights()._replace(points=pts3_pad)    # scan path
+    a = np.asarray(render_frame(
+        scene, kani.frame_state(scene, cam, l3), cfg).image)
+    b = np.asarray(render_frame(
+        scene, kani.frame_state(scene, cam, l6), cfg).image)
+    np.testing.assert_allclose(a, b, atol=1e-6)

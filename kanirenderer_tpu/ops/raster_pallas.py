@@ -71,7 +71,7 @@ def _interpret() -> bool:
         return True
 
 
-def _raster_kernel(lists_hbm, setup_hbm, y0_smem, z_ref, tri_ref,
+def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
                    b1_ref, b2_ref, list_smem, chunk_buf, list_sem, sem, *,
                    tile_h, tile_w, tiles_x, wireframe, wire_thresh,
                    depth_only):
@@ -111,16 +111,9 @@ def _raster_kernel(lists_hbm, setup_hbm, y0_smem, z_ref, tri_ref,
     tx0f = (j * tile_w).astype(jnp.float32)
     ty0f = (i * tile_h).astype(jnp.float32)
 
-    # Edge/depth equations evaluate at GLOBAL pixel coordinates: the
-    # banded path (parallel/mesh.py) passes the band's row offset here
-    # instead of re-anchoring the c coefficients (c += b·y0 changes f32
-    # rounding; integer-valued coordinate sums are exact, keeping banded
-    # output bit-identical to the full-screen raster).  The bbox overlap
-    # tests stay in band-local coordinates (the caller shifts bboxes —
-    # also exact: bbox values and y0 are integers).
     X = tx0f + 0.5 + jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    Y = ty0f + y0_smem[0, 0] + 0.5 + jax.lax.broadcasted_iota(
+    Y = ty0f + 0.5 + jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
 
     def eval_subbatch(rows, cid, b):
@@ -232,7 +225,7 @@ def _raster_kernel(lists_hbm, setup_hbm, y0_smem, z_ref, tri_ref,
 def _run(setup: Array, bins_bbox: Array, bins: binning.TileBins,
          width: int, height: int,
          tile_w: int, tile_h: int, wireframe: bool, wire_thresh: float,
-         depth_only: bool, y0=0.0):
+         depth_only: bool):
     tiles_y, tiles_x, L = bins.tile_lists.shape
     C = setup.shape[0] // CHUNK_SIZE
     # Pad the 16 setup lanes to 128 so per-chunk DMA slices are
@@ -260,13 +253,12 @@ def _run(setup: Array, bins_bbox: Array, bins: binning.TileBins,
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),  # packed tile lists
         pl.BlockSpec(memory_space=pltpu.ANY),  # chunk setup rows
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # band row offset (1, 1)
     ]
 
     if depth_only:
-        def kern(lists_hbm, setup_hbm, y0_smem, z_ref, list_smem,
-                 chunk_buf, list_sem, sem):
-            kernel(lists_hbm, setup_hbm, y0_smem, z_ref, None, None, None,
+        def kern(lists_hbm, setup_hbm, z_ref, list_smem, chunk_buf,
+                 list_sem, sem):
+            kernel(lists_hbm, setup_hbm, z_ref, None, None, None,
                    list_smem, chunk_buf, list_sem, sem)
     else:
         kern = kernel
@@ -284,7 +276,7 @@ def _run(setup: Array, bins_bbox: Array, bins: binning.TileBins,
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=_interpret(),
-    )(bins.packed, setup_c, jnp.full((1, 1), y0, jnp.float32))
+    )(bins.packed, setup_c)
     return outs
 
 
@@ -303,10 +295,10 @@ def rasterize(st: TriangleSetup, config: RenderConfig,
                      bary=jnp.stack([b1[:H, :W], b2[:H, :W]], axis=-1))
 
 
-def _fused_kernel(lists_hbm, setup_hbm, y0_smem, z_ref, vary_ref, mat_ref,
-                  tw_ref, th_ref, base_ref, bw_ref, tid_ref, list_smem,
-                  chunk_buf, cand_ref, win_smem, list_sem, sem, *, tile_h,
-                  tile_w, tiles_x, wireframe, wire_thresh):
+def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
+                  th_ref, base_ref, bw_ref, tid_ref, list_smem, chunk_buf,
+                  cand_ref, win_smem, list_sem, sem, *, tile_h, tile_w,
+                  tiles_x, wireframe, wire_thresh):
     """Raster + interpolate in one pass over the tile's chunk list.
 
     Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
@@ -351,11 +343,9 @@ def _fused_kernel(lists_hbm, setup_hbm, y0_smem, z_ref, vary_ref, mat_ref,
 
     tx0f = (j * tile_w).astype(jnp.float32)
     ty0f = (i * tile_h).astype(jnp.float32)
-    # Global pixel coordinates (see _raster_kernel's note on banded
-    # exactness); the bbox overlap tests below use band-local ty0f.
     X = tx0f + 0.5 + jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    Y = ty0f + y0_smem[0, 0] + 0.5 + jax.lax.broadcasted_iota(
+    Y = ty0f + 0.5 + jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
 
     def eval_subbatch(rows, s, b):
@@ -528,7 +518,7 @@ def _fused_kernel(lists_hbm, setup_hbm, y0_smem, z_ref, vary_ref, mat_ref,
 
 def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
                tile_h: int, tiles_x: int, tiles_y: int, wireframe: bool,
-               wire_thresh: float, y0=0.0):
+               wire_thresh: float):
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
     kernel = functools.partial(
         _fused_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
@@ -543,8 +533,7 @@ def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
         kernel,
         grid=(tiles_y, tiles_x),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[bspec, vspec] + [bspec] * 6,
         out_shape=[plane_f,
                    jax.ShapeDtypeStruct((USED, ph, pw), jnp.float32),
@@ -558,7 +547,7 @@ def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=_interpret(),
-    )(bins.packed, setup_c, jnp.full((1, 1), y0, jnp.float32))
+    )(bins.packed, setup_c)
 
 
 @functools.partial(jax.jit,
@@ -577,20 +566,19 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
 
     ``band_h``/``y0``: render only screen rows [y0, y0+band_h) — the
     multi-chip row-band sharding path (parallel/mesh.py).  ``y0`` may be
-    traced (it derives from ``lax.axis_index`` under shard_map): bboxes
-    shift to band-local coordinates for binning/overlap (exact — both
-    are integer-valued) while the kernel evaluates edge/depth equations
-    at GLOBAL pixel coordinates via an SMEM row offset, keeping banded
-    output bit-identical to the full-screen raster.
+    traced (it derives from ``lax.axis_index`` under shard_map): rather
+    than plumbing it into the kernel, the linear edge/depth equations are
+    re-anchored (c ← c + b·y0) and the bboxes shifted, so the kernel
+    always rasterizes rows [0, band_h).
     """
     cfg = config
     setup, bbox = st.setup, st.bbox
     if band_h is None:
         band_h = cfg.height
-    y0f = jnp.float32(0.0) if y0 is None else jnp.asarray(y0, jnp.float32)
     if y0 is not None:
-        # Band-local bboxes (exact: bbox values and y0 are integers);
-        # the edge equations stay global — the kernel receives y0.
+        y0f = jnp.asarray(y0, jnp.float32)
+        cols = jnp.array([2, 5, 8, 11, 14])
+        setup = setup.at[:, cols].add(setup[:, cols - 1] * y0f)
         bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
     tiles_y = -(-band_h // cfg.tile_h)
     bins = binning.bin_chunks(
@@ -607,7 +595,7 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
 
     z, vary, mat, tw, th, base, bw, tid = _run_fused(
         setup_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, tiles_y,
-        wireframe, cfg.wire_thresh_px, y0=y0f)
+        wireframe, cfg.wire_thresh_px)
     H, W = band_h, cfg.width
     return PixelBuffer(varyings=vary[:, :H, :W], mat_id=mat[:H, :W],
                        tex_w=tw[:H, :W], tex_h=th[:H, :W],
@@ -622,16 +610,17 @@ def rasterize_depth(st: TriangleSetup, config: RenderConfig,
     """Depth-only shadow-map raster (tiles over the shadow_dim square).
 
     ``band_h``/``y0`` restrict output to map rows [y0, y0+band_h) for the
-    multi-chip sharded shadow pass — same bit-exact band scheme as
+    multi-chip sharded shadow pass — same traced-offset re-anchoring as
     ``rasterize_pixels``."""
     cfg = config
     dim = cfg.shadow_dim
     th = cfg.shadow_tile_h
     setup, bbox = st.setup, st.bbox
     H = dim if band_h is None else band_h
-    y0f = jnp.float32(0.0) if y0 is None else jnp.asarray(y0, jnp.float32)
     if y0 is not None:
-        # Band-local bboxes; global edge equations (see rasterize_pixels).
+        y0f = jnp.asarray(y0, jnp.float32)
+        cols = jnp.array([2, 5, 8, 11, 14])
+        setup = setup.at[:, cols].add(setup[:, cols - 1] * y0f)
         bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
     tiles_x = -(-dim // cfg.tile_w)
     tiles_y = -(-H // th)
@@ -640,5 +629,5 @@ def rasterize_depth(st: TriangleSetup, config: RenderConfig,
         cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
         cfg.max_global_chunks)
     (z,) = _run(setup, bbox, bins, dim, H, cfg.tile_w, th,
-                False, 0.0, True, y0=y0f)
+                False, 0.0, True)
     return z[:H, :dim]

@@ -135,7 +135,10 @@ def render_band(scene: Scene, state: FrameState,
     FRESH shadow raster — each chip rasters shadow_dim/shadow_bands map
     rows and an ICI ``all_gather`` over ``shadow_axis`` assembles the
     full map on every chip (instead of every chip redundantly rendering
-    all of it).  The gathered map is bit-identical to the unsharded one.
+    all of it).  The gathered map matches the unsharded one to within
+    ~1 ulp (the banded kernel re-anchors the depth-plane coefficients,
+    c ← c + b·y0, which perturbs f32 rounding; an exact SMEM row-offset
+    variant measured a 3× whole-frame slowdown — docs/PERFORMANCE.md).
     """
     cfg = config
     mode = cfg.mode

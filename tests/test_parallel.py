@@ -1,11 +1,13 @@
 """Multi-chip row-band sharding on the 8-device virtual CPU mesh.
 
 The sharded path calls the same ``render_band`` body as the single-chip
-``render_frame`` (VERDICT round-1 item #3), so these tests assert exact
-pixel equality between the two for every major configuration: LIT,
-LIT_SHADOW (shadow rendering is replicated per chip, so equality is
-exact), the deferred pipeline, the Pallas raster backend (interpret mode
-on CPU), and the host-cached external shadow map.
+``render_frame`` (VERDICT round-1 item #3), so these tests assert pixel
+equality between the two for every major configuration: LIT, LIT_SHADOW
+(including the band-sharded fresh shadow raster + all_gather), the
+deferred pipeline, the Pallas raster backend (interpret mode on CPU),
+and the host-cached external shadow map.  Tolerance is a few ulp: the
+banded raster re-anchors linear coefficients (c ← c + b·y0), perturbing
+f32 rounding relative to the full-screen evaluation.
 """
 
 import jax

@@ -29,6 +29,14 @@ Array = jnp.ndarray
 # perf experiments (scene packing and the raster kernel both honor it).
 CHUNK_SIZE = int(_os.environ.get("KANI_CHUNK_SIZE", "64"))
 
+# Max chunks per DMA run: the binner collapses up to RUN_CHUNKS consecutive
+# chunk ids in a tile's list into one entry, and the raster kernels fetch
+# the whole run with a single (RUN_CHUNKS · CHUNK_SIZE, 128) DMA — cutting
+# the per-(tile, chunk) scalar-core DMA-sync fixed cost that dominates the
+# kernel at sponza scale (docs/PERFORMANCE.md).  ≤ 8 (4-bit len encoding).
+RUN_CHUNKS = int(_os.environ.get("KANI_RUN_CHUNKS", "4"))
+assert 1 <= RUN_CHUNKS <= 8
+
 
 class RenderMode(enum.IntEnum):
     """Tab-cycled render modes (reference src/lib.rs:65-71, 1221-1229)."""

@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from kanirenderer_tpu.core.types import CHUNK_SIZE
+from kanirenderer_tpu.core.types import CHUNK_SIZE, RUN_CHUNKS
 
 Array = jnp.ndarray
 
@@ -39,13 +39,56 @@ _SENTINEL = jnp.int32(2**31 - 1)
 class TileBins(NamedTuple):
     tile_lists: Array   # (tiles_y, tiles_x, L) i32 chunk ids, -1 padded
     tile_counts: Array  # (tiles_y, tiles_x) i32 valid prefix length
-    packed: Array       # (num_tiles, 8, 128) i32 — flat slot 0 = count,
-    #                     slots 1.. = chunk ids; the tile-aligned block the
-    #                     Pallas kernel DMAs into SMEM
+    packed: Array       # (num_tiles, 8, 128) i32 — flat slot 0 = RUN count,
+    #                     slots 1.. = run entries ``cid0·16 + len`` (a run =
+    #                     ``len`` ≤ RUN_CHUNKS chunks with consecutive ids,
+    #                     so the Pallas kernel fetches a whole run with ONE
+    #                     DMA of RUN_CHUNKS·CHUNK_SIZE setup rows instead of
+    #                     one DMA+sync per chunk — Morton-sorted chunk ids
+    #                     make consecutive list entries the common case)
     num_chunks: int     # C (static)
     overflow: Array     # () i32 — chunks DROPPED by the per-tile /global
     #                     caps this frame (0 = complete geometry; callers
     #                     and tests can assert/log on it)
+
+
+def _pack_runs(lists: Array, num_tiles: int) -> Array:
+    """(num_tiles, L) sorted chunk-id lists (−1 padded) → packed run lists.
+
+    Runs of ≤ RUN_CHUNKS *consecutive* chunk ids collapse to one entry
+    ``cid0·16 + len``.  All dense vector work: break detection, a
+    cummax-based position-within-run, run-length via shifted stop flags,
+    and one row-wise sort to compact run starts to a dense prefix."""
+    R = RUN_CHUNKS
+    L = lists.shape[1]
+    valid = lists >= 0
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    prev = jnp.concatenate(
+        [jnp.full((num_tiles, 1), -2, jnp.int32), lists[:, :-1]], axis=1)
+    brk = valid & (lists != prev + 1)
+    first = jax.lax.cummax(jnp.where(brk, idx, -1), axis=1)
+    pos = idx - first                       # position within maximal run
+    newrun = valid & (brk | (pos % R == 0))
+    stop = newrun | ~valid
+    # run length = distance to the next stop flag, ≤ R by construction
+    ln = jnp.ones_like(lists)
+    alive = jnp.ones_like(valid)
+    for k in range(1, R):
+        nxt = jnp.concatenate(
+            [stop[:, k:], jnp.ones((num_tiles, k), bool)], axis=1)
+        alive = alive & ~nxt
+        ln = ln + alive.astype(jnp.int32)
+    entries = jnp.where(newrun, lists * 16 + ln, _SENTINEL)
+    entries = jnp.sort(entries, axis=1)
+    entries = jnp.where(entries == _SENTINEL, -1, entries)
+    run_count = newrun.sum(axis=1).astype(jnp.int32)
+
+    flat = jnp.concatenate([run_count[:, None], entries], axis=1)
+    cap = 8 * 128
+    if flat.shape[1] > cap:
+        raise ValueError(f"tile list capacity {flat.shape[1]} exceeds {cap}")
+    return jnp.pad(flat, ((0, 0), (0, cap - flat.shape[1])),
+                   constant_values=-1).reshape(num_tiles, 8, 128)
 
 
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
@@ -126,14 +169,8 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
 
     # Packed layout for the Pallas kernel: each tile's row padded into an
     # (8, 128) int32 block (DMA slices must be tile-aligned on TPU).
-    # Flat slot 0 = count, slots 1.. = chunk ids; capacity 1023 entries.
-    flat = jnp.concatenate([total[:, None], lists], axis=1)
-    cap = 8 * 128
-    if flat.shape[1] > cap:
-        raise ValueError(f"tile list capacity {flat.shape[1]} exceeds {cap}")
-    pad_cols = cap - flat.shape[1]
-    packed = jnp.pad(flat, ((0, 0), (0, pad_cols)),
-                     constant_values=-1).reshape(num_tiles, 8, 128)
+    # Flat slot 0 = run count, slots 1.. = cid0·16+len run entries.
+    packed = _pack_runs(lists, num_tiles)
     return TileBins(
         tile_lists=lists.reshape(tiles_y, tiles_x, L),
         tile_counts=total.reshape(tiles_y, tiles_x),

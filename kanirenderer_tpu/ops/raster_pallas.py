@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kanirenderer_tpu.core.types import CHUNK_SIZE, RenderConfig
+from kanirenderer_tpu.core.types import CHUNK_SIZE, RUN_CHUNKS, RenderConfig
 from kanirenderer_tpu.ops import binning
 from kanirenderer_tpu.ops.interpolate import USED, PixelBuffer
 from kanirenderer_tpu.ops.raster_xla import VisBuffer
@@ -79,7 +79,7 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
     j = pl.program_id(1)
     tile_id = i * tiles_x + j
 
-    # Fetch this tile's packed chunk list [count, cid0, ...] into SMEM.
+    # Fetch this tile's packed run list [count, cid0·16+len, ...] into SMEM.
     list_dma = pltpu.make_async_copy(lists_hbm.at[tile_id], list_smem,
                                      list_sem)
     list_dma.start()
@@ -93,28 +93,36 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
     list_dma.wait()
     count = list_smem[0, 0]
 
-    def get_cid(s):
+    def get_entry(s):
         t = s + 1
         return list_smem[t // 128, t % 128]
 
-    def dma(slot, cid):
-        return pltpu.make_async_copy(setup_hbm.at[cid], chunk_buf.at[slot],
-                                     sem.at[slot])
+    def dma(slot, cid0):
+        # One DMA per RUN: RUN_CHUNKS consecutive chunks' setup rows
+        # (setup_hbm is padded with RUN_CHUNKS-1 zero chunks at the end
+        # so the fixed-size fetch is always in-bounds).
+        return pltpu.make_async_copy(
+            setup_hbm.at[pl.ds(cid0, RUN_CHUNKS)], chunk_buf.at[slot],
+            sem.at[slot])
 
-    # Warm the pipeline: start up to NBUF-1 chunk fetches ahead so the
-    # per-chunk DMA latency overlaps several iterations of compute.
+    # Warm the pipeline: start up to NBUF-1 run fetches ahead so the
+    # per-run DMA latency overlaps several iterations of compute.
     for w in range(NBUF - 1):
         @pl.when(w < count)
         def _(w=w):
-            dma(w % NBUF, get_cid(w)).start()
+            dma(w % NBUF, get_entry(w) // 16).start()
 
     tx0f = (j * tile_w).astype(jnp.float32)
     ty0f = (i * tile_h).astype(jnp.float32)
 
-    X = tx0f + 0.5 + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    Y = ty0f + 0.5 + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    # Decomposed plane evaluation: a·x + b·y + c = (a·X + c)[lanes]
+    # + (b·Y)[sublanes], so each per-triangle (tile_h, tile_w) plane is
+    # ONE broadcast add instead of two full-tile FMAs — the kernel is
+    # VPU-instruction-bound, so this halves its dominant cost.
+    Xr = tx0f + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, tile_w), 1).astype(jnp.float32)      # (1, W)
+    Yc = ty0f + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, 1), 0).astype(jnp.float32)      # (H, 1)
 
     def eval_subbatch(rows, cid, b):
         """Edge/depth evaluation of SUBBATCH triangles over the tile.
@@ -123,47 +131,46 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
         a single per-pixel divide after the in-batch tournament.  The
         cross-multiplied compare ``zw_a·ww_b < zw_b·ww_a`` is exact enough
         (scale-invariant relative error) and saves ~8 divides per
-        pixel·batch.
+        pixel·batch.  All per-pixel values stay 2D (tile_h, tile_w): the
+        five planes per triangle come from small (SUB, W)/(H, SUB)
+        precomputations + one broadcast add each (no 3D intermediates,
+        whose k-extraction Mosaic lowers as copies).
         """
-
-        def lin(c0, c1, c2):
-            return (rows[:, c0][:, None, None] * X[None]
-                    + rows[:, c1][:, None, None] * Y[None]
-                    + rows[:, c2][:, None, None])
-
-        l0 = lin(0, 1, 2)
-        l1 = lin(3, 4, 5)
-        l2 = lin(6, 7, 8)
-        zw = lin(9, 10, 11)
-        ww = lin(12, 13, 14)
-
-        inside = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-        # depth-range clip without division: 0 <= zw and zw <= ww (ww > 0).
-        # No validity flag needed: invalid rows are all-zero → ww = 0.
-        covered = inside & (ww > 0.0) & (zw >= 0.0) & (zw <= ww)
+        cols = ((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11), (12, 13, 14))
+        lxs = [rows[:, c0][:, None] * Xr + rows[:, c2][:, None]
+               for (c0, _, c2) in cols]                      # (SUB, W) each
+        lys = [Yc * rows[:, c1][None, :] for (_, c1, _) in cols]  # (H, SUB)
         if wireframe:
-            def edist(l, c0, c1):
-                g = jax.lax.rsqrt(rows[:, c0] ** 2 + rows[:, c1] ** 2
-                                  + 1e-30)
-                return l * g[:, None, None]
-            d = jnp.minimum(jnp.minimum(edist(l0, 0, 1), edist(l1, 3, 4)),
-                            edist(l2, 6, 7))
-            covered = covered & (d <= wire_thresh)
+            gs = [jax.lax.rsqrt(rows[:, c0] ** 2 + rows[:, c1] ** 2
+                                + 1e-30)[:, None]            # (SUB, 1)
+                  for (c0, c1, _) in cols[:3]]
 
-        # In-batch tournament: covered fragments encoded as (zw, ww>0);
-        # invalid ones as (1, 0) which loses every cross-multiply compare.
-        # Rows are extracted to 2D up-front (Mosaic's strided 3D slices are
-        # not reliable) and merged as a python-level pairwise tree.
-        zw_c = jnp.where(covered, zw, 1.0)
-        ww_c = jnp.where(covered, ww, 0.0)
+        entries = []
+        for k in range(SUBBATCH):
+            l0, l1, l2, zw, ww = [
+                lxs[t][k:k + 1, :] + lys[t][:, k:k + 1] for t in range(5)]
+            # covered ⇔ min(l0, l1, l2, zw, ww−zw) ≥ 0 ∧ ww > 0 (the
+            # depth-range clip without division; invalid rows are
+            # all-zero → ww = 0).
+            q = jnp.minimum(jnp.minimum(jnp.minimum(l0, l1), l2),
+                            jnp.minimum(zw, ww - zw))
+            covered = (q >= 0.0) & (ww > 0.0)
+            if wireframe:
+                d = jnp.minimum(jnp.minimum(l0 * gs[0][k:k + 1],
+                                            l1 * gs[1][k:k + 1]),
+                                l2 * gs[2][k:k + 1])
+                covered = covered & (d <= wire_thresh)
 
-        if depth_only:
-            entries = [(zw_c[k], ww_c[k]) for k in range(SUBBATCH)]
-        else:
-            lsum = l0 + l1 + l2
-            entries = [(zw_c[k], ww_c[k],
-                        jnp.full_like(zw_c[k], float(k)),
-                        l1[k], l2[k], lsum[k]) for k in range(SUBBATCH)]
+            # Tournament entries: covered fragments as (zw, ww>0);
+            # invalid ones as (1, 0) which loses every cross-multiply
+            # compare.
+            zw_c = jnp.where(covered, zw, 1.0)
+            ww_c = jnp.where(covered, ww, 0.0)
+            if depth_only:
+                entries.append((zw_c, ww_c))
+            else:
+                entries.append((zw_c, ww_c, jnp.full_like(zw_c, float(k)),
+                                l1, l2, l0 + l1 + l2))
 
         def merge(a, bt):
             take_b = bt[0] * a[1] < a[0] * bt[1]
@@ -189,37 +196,44 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
             b1_ref[:] = jnp.where(hit, w1, b1_ref[:])
             b2_ref[:] = jnp.where(hit, w2, b2_ref[:])
 
-    def chunk_body(s, _):
+    def run_body(s, _):
         slot = s % NBUF
 
         @pl.when(s + NBUF - 1 < count)
         def _():
-            dma((s + NBUF - 1) % NBUF, get_cid(s + NBUF - 1)).start()
+            dma((s + NBUF - 1) % NBUF, get_entry(s + NBUF - 1) // 16).start()
 
-        dma(slot, get_cid(s)).wait()
-        chunk = chunk_buf[slot]          # (CHUNK_SIZE, 128)
-        cid = get_cid(s)
+        entry = get_entry(s)
+        cid0 = entry // 16
+        ln = entry % 16
+        dma(slot, cid0).wait()
 
-        for b in range(CHUNK_SIZE // SUBBATCH):
-            rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
+        for k in range(RUN_CHUNKS):
+            @pl.when(k < ln)
+            def _(k=k):
+                chunk = chunk_buf[slot, k]   # (CHUNK_SIZE, 128)
+                cid = cid0 + k
+                for b in range(CHUNK_SIZE // SUBBATCH):
+                    rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
 
-            if not SUBBATCH_SKIP:
-                eval_subbatch(rows, cid, b)
-                continue
+                    if not SUBBATCH_SKIP:
+                        eval_subbatch(rows, cid, b)
+                        continue
 
-            # Subbatch rejection: skip the pixel evaluation when none of
-            # these triangles' bboxes (setup lanes 16:20) touch this tile.
-            overlap = ((rows[:, NS + 0] < tx0f + tile_w)
-                       & (rows[:, NS + 2] > tx0f)
-                       & (rows[:, NS + 1] < ty0f + tile_h)
-                       & (rows[:, NS + 3] > ty0f))
+                    # Subbatch rejection: skip the pixel evaluation when
+                    # none of these triangles' bboxes (setup lanes 16:20)
+                    # touch this tile.
+                    overlap = ((rows[:, NS + 0] < tx0f + tile_w)
+                               & (rows[:, NS + 2] > tx0f)
+                               & (rows[:, NS + 1] < ty0f + tile_h)
+                               & (rows[:, NS + 3] > ty0f))
 
-            @pl.when(overlap.any())
-            def _(rows=rows, cid=cid, b=b):
-                eval_subbatch(rows, cid, b)
+                    @pl.when(overlap.any())
+                    def _(rows=rows, cid=cid, b=b):
+                        eval_subbatch(rows, cid, b)
         return 0
 
-    jax.lax.fori_loop(0, count, chunk_body, 0)
+    jax.lax.fori_loop(0, count, run_body, 0)
 
 
 def _run(setup: Array, bins_bbox: Array, bins: binning.TileBins,
@@ -236,6 +250,9 @@ def _run(setup: Array, bins_bbox: Array, bins: binning.TileBins,
                       ((0, 0), (0, 0), (0, 128 - NS)))
     setup_c = setup_c.at[:, :, NS:NS + 4].set(
         bins_bbox.reshape(C, CHUNK_SIZE, 4))
+    # RUN_CHUNKS-1 zero tail chunks keep the fixed-size run DMA in-bounds
+    # for runs starting near the end (zero rows are invalid: ww = 0).
+    setup_c = jnp.pad(setup_c, ((0, RUN_CHUNKS - 1), (0, 0), (0, 0)))
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
 
     kernel = functools.partial(
@@ -271,7 +288,7 @@ def _run(setup: Array, bins_bbox: Array, bins: binning.TileBins,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((8, 128), jnp.int32),
-            pltpu.VMEM((NBUF, CHUNK_SIZE, 128), jnp.float32),
+            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
@@ -297,20 +314,21 @@ def rasterize(st: TriangleSetup, config: RenderConfig,
 
 def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
                   th_ref, base_ref, bw_ref, tid_ref, list_smem, chunk_buf,
-                  cand_ref, win_smem, list_sem, sem, *, tile_h, tile_w,
-                  tiles_x, wireframe, wire_thresh):
-    """Raster + interpolate in one pass over the tile's chunk list.
+                  cand_ref, win_smem, cnt_smem, list_sem, sem, *, tile_h,
+                  tile_w, tiles_x, wireframe, wire_thresh):
+    """Raster + interpolate in one pass over the tile's run list.
 
     Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
-    (zw, ww, rid) payload; the winner is stored as its POSITION in the
-    tile's chunk list (s·CHUNK + local) so phase 2 can find its chunk.
+    (zw, ww, rid) payload over the tile's RUN list (one DMA per ≤
+    RUN_CHUNKS consecutive chunks); the winner is stored as its GLOBAL
+    triangle id (cid·CHUNK + local) so phase 2 can find its chunk.
 
-    Phase 2 — interpolation: re-walk the chunk list, DMA only chunks that
-    won at least one pixel, and resolve the winner's full shading record
-    from VMEM via lane-wise ``dynamic_gather`` LUT lookups (the TPU has no
-    per-pixel HBM gather; XLA-level row gathers cost ~11 ns/row beyond
-    VMEM, which at 1080p is ~23 ms/gather — this kernel replaces the
-    per-pixel record gather of ops/interpolate.py entirely).
+    Phase 2 — interpolation: compact the winner chunk ids into SMEM, DMA
+    only chunks that won at least one pixel, and resolve the winner's full
+    shading record from VMEM via lane-wise ``dynamic_gather`` LUT lookups
+    (the TPU has no per-pixel HBM gather; XLA-level row gathers cost
+    ~11 ns/row beyond VMEM, which at 1080p is ~23 ms/gather — this kernel
+    replaces the per-pixel record gather of ops/interpolate.py entirely).
     Barycentrics are recomputed here from the LUT'd edge rows, keeping the
     phase-1 tournament payload minimal.
     """
@@ -328,18 +346,19 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
     list_dma.wait()
     count = list_smem[0, 0]
 
-    def get_cid(s):
+    def get_entry(s):
         t = s + 1
         return list_smem[t // 128, t % 128]
 
-    def dma(slot, cid):
-        return pltpu.make_async_copy(setup_hbm.at[cid], chunk_buf.at[slot],
-                                     sem.at[slot])
+    def dma(slot, cid0):
+        return pltpu.make_async_copy(
+            setup_hbm.at[pl.ds(cid0, RUN_CHUNKS)], chunk_buf.at[slot],
+            sem.at[slot])
 
     for w in range(NBUF - 1):
         @pl.when(w < count)
         def _(w=w):
-            dma(w % NBUF, get_cid(w)).start()
+            dma(w % NBUF, get_entry(w) // 16).start()
 
     tx0f = (j * tile_w).astype(jnp.float32)
     ty0f = (i * tile_h).astype(jnp.float32)
@@ -347,34 +366,36 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
         jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
     Y = ty0f + 0.5 + jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    # Decomposed plane evaluation (see _raster_kernel): one broadcast add
+    # per per-triangle plane instead of two full-tile FMAs.
+    Xr = X[0:1, :]                                          # (1, W)
+    Yc = Y[:, 0:1]                                          # (H, 1)
 
-    def eval_subbatch(rows, s, b):
-        def lin(c0, c1, c2):
-            return (rows[:, c0][:, None, None] * X[None]
-                    + rows[:, c1][:, None, None] * Y[None]
-                    + rows[:, c2][:, None, None])
-
-        l0 = lin(0, 1, 2)
-        l1 = lin(3, 4, 5)
-        l2 = lin(6, 7, 8)
-        zw = lin(9, 10, 11)
-        ww = lin(12, 13, 14)
-
-        inside = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-        covered = inside & (ww > 0.0) & (zw >= 0.0) & (zw <= ww)
+    def eval_subbatch(rows, cid, b):
+        cols = ((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11), (12, 13, 14))
+        lxs = [rows[:, c0][:, None] * Xr + rows[:, c2][:, None]
+               for (c0, _, c2) in cols]                      # (SUB, W) each
+        lys = [Yc * rows[:, c1][None, :] for (_, c1, _) in cols]  # (H, SUB)
         if wireframe:
-            def edist(l, c0, c1):
-                g = jax.lax.rsqrt(rows[:, c0] ** 2 + rows[:, c1] ** 2
-                                  + 1e-30)
-                return l * g[:, None, None]
-            d = jnp.minimum(jnp.minimum(edist(l0, 0, 1), edist(l1, 3, 4)),
-                            edist(l2, 6, 7))
-            covered = covered & (d <= wire_thresh)
+            gs = [jax.lax.rsqrt(rows[:, c0] ** 2 + rows[:, c1] ** 2
+                                + 1e-30)[:, None]            # (SUB, 1)
+                  for (c0, c1, _) in cols[:3]]
 
-        zw_c = jnp.where(covered, zw, 1.0)
-        ww_c = jnp.where(covered, ww, 0.0)
-        entries = [(zw_c[k], ww_c[k], jnp.full_like(zw_c[k], float(k)))
-                   for k in range(SUBBATCH)]
+        entries = []
+        for k in range(SUBBATCH):
+            l0, l1, l2, zw, ww = [
+                lxs[t][k:k + 1, :] + lys[t][:, k:k + 1] for t in range(5)]
+            q = jnp.minimum(jnp.minimum(jnp.minimum(l0, l1), l2),
+                            jnp.minimum(zw, ww - zw))
+            covered = (q >= 0.0) & (ww > 0.0)
+            if wireframe:
+                d = jnp.minimum(jnp.minimum(l0 * gs[0][k:k + 1],
+                                            l1 * gs[1][k:k + 1]),
+                                l2 * gs[2][k:k + 1])
+                covered = covered & (d <= wire_thresh)
+            zw_c = jnp.where(covered, zw, 1.0)
+            ww_c = jnp.where(covered, ww, 0.0)
+            entries.append((zw_c, ww_c, jnp.full_like(zw_c, float(k))))
 
         def merge(a, bt):
             take_b = bt[0] * a[1] < a[0] * bt[1]
@@ -391,35 +412,43 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
         hit = wvalid & (z < z_ref[:])
         z_ref[:] = jnp.where(hit, z, z_ref[:])
         local = b * SUBBATCH + win[2].astype(jnp.int32)
-        cand_ref[:] = jnp.where(hit, s * CHUNK_SIZE + local, cand_ref[:])
+        cand_ref[:] = jnp.where(hit, cid * CHUNK_SIZE + local, cand_ref[:])
 
-    def chunk_body(s, _):
+    def run_body(s, _):
         slot = s % NBUF
 
         @pl.when(s + NBUF - 1 < count)
         def _():
-            dma((s + NBUF - 1) % NBUF, get_cid(s + NBUF - 1)).start()
+            dma((s + NBUF - 1) % NBUF, get_entry(s + NBUF - 1) // 16).start()
 
-        dma(slot, get_cid(s)).wait()
-        chunk = chunk_buf[slot]
-        for b in range(CHUNK_SIZE // SUBBATCH):
-            rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
+        entry = get_entry(s)
+        cid0 = entry // 16
+        ln = entry % 16
+        dma(slot, cid0).wait()
 
-            if not SUBBATCH_SKIP:
-                eval_subbatch(rows, s, b)
-                continue
+        for k in range(RUN_CHUNKS):
+            @pl.when(k < ln)
+            def _(k=k):
+                chunk = chunk_buf[slot, k]
+                cid = cid0 + k
+                for b in range(CHUNK_SIZE // SUBBATCH):
+                    rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
 
-            overlap = ((rows[:, NS + 0] < tx0f + tile_w)
-                       & (rows[:, NS + 2] > tx0f)
-                       & (rows[:, NS + 1] < ty0f + tile_h)
-                       & (rows[:, NS + 3] > ty0f))
+                    if not SUBBATCH_SKIP:
+                        eval_subbatch(rows, cid, b)
+                        continue
 
-            @pl.when(overlap.any())
-            def _(rows=rows, s=s, b=b):
-                eval_subbatch(rows, s, b)
+                    overlap = ((rows[:, NS + 0] < tx0f + tile_w)
+                               & (rows[:, NS + 2] > tx0f)
+                               & (rows[:, NS + 1] < ty0f + tile_h)
+                               & (rows[:, NS + 3] > ty0f))
+
+                    @pl.when(overlap.any())
+                    def _(rows=rows, cid=cid, b=b):
+                        eval_subbatch(rows, cid, b)
         return 0
 
-    jax.lax.fori_loop(0, count, chunk_body, 0)
+    jax.lax.fori_loop(0, count, run_body, 0)
 
     # ---- phase 2: winner-chunk record interpolation ----
     for c in range(USED):
@@ -432,45 +461,62 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
     tid_ref[:] = jnp.full_like(tid_ref, -1)
 
     cand = cand_ref[:]
-    win_s = cand // CHUNK_SIZE            # -1 stays -1 (floor division)
+    win_cid = cand // CHUNK_SIZE          # -1 stays -1 (floor division)
 
-    # Compact the winner list-positions into SMEM: only a handful of the
-    # tile's chunks actually win pixels, so phase 2's DMA pipeline (and
-    # every per-chunk sync) runs over the compacted list instead of the
-    # full one.  The presence scan itself is cheap vector work.
-    def compact_body(s, cnt):
-        found = (win_s == s).any()
+    # Compact the winner CHUNK IDS into SMEM: only a handful of the tile's
+    # chunks actually win pixels, so phase 2's DMA pipeline (and every
+    # per-chunk sync) runs over the compacted list instead of the full
+    # one.  Per run, one range-reduce detects any winner; the per-chunk
+    # equality reduces only run for runs that have one.
+    cnt_smem[0, 0] = 0
 
-        @pl.when(found)
-        def _(s=s, cnt=cnt):
-            win_smem[cnt // 128, cnt % 128] = s
-        return cnt + found.astype(jnp.int32)
+    def compact_body(s, _):
+        entry = get_entry(s)
+        cid0 = entry // 16
+        ln = entry % 16
 
-    nwin = jax.lax.fori_loop(0, count, compact_body, jnp.int32(0))
+        @pl.when(((win_cid >= cid0) & (win_cid < cid0 + ln)).any())
+        def _():
+            for k in range(RUN_CHUNKS):
+                found = jnp.logical_and(k < ln,
+                                        (win_cid == cid0 + k).any())
 
-    def get_ws(k):
+                @pl.when(found)
+                def _(k=k):
+                    c = cnt_smem[0, 0]
+                    win_smem[c // 128, c % 128] = cid0 + k
+                    cnt_smem[0, 0] = c + 1
+        return 0
+
+    jax.lax.fori_loop(0, count, compact_body, 0)
+    nwin = cnt_smem[0, 0]
+
+    def get_wcid(k):
         return win_smem[k // 128, k % 128]
+
+    def dma_one(slot, cid):
+        return pltpu.make_async_copy(setup_hbm.at[cid],
+                                     chunk_buf.at[slot, 0], sem.at[slot])
 
     # NBUF-deep DMA pipeline over the compacted winner list.
     for w in range(NBUF - 1):
         @pl.when(w < nwin)
         def _(w=w):
-            dma(w % NBUF, get_cid(get_ws(w))).start()
+            dma_one(w % NBUF, get_wcid(w)).start()
 
     def interp_body(k, _):
         slot = k % NBUF
 
         @pl.when(k + NBUF - 1 < nwin)
         def _():
-            dma((k + NBUF - 1) % NBUF,
-                get_cid(get_ws(k + NBUF - 1))).start()
+            dma_one((k + NBUF - 1) % NBUF, get_wcid(k + NBUF - 1)).start()
 
-        s = get_ws(k)
-        dma(slot, get_cid(s)).wait()
-        mask = win_s == s
+        cid = get_wcid(k)
+        dma_one(slot, cid).wait()
+        mask = win_cid == cid
 
-        local = jnp.where(mask, cand - s * CHUNK_SIZE, 0)
-        chunk = chunk_buf[slot]       # (CHUNK_SIZE, 128)
+        local = jnp.where(mask, cand - cid * CHUNK_SIZE, 0)
+        chunk = chunk_buf[slot, 0]    # (CHUNK_SIZE, 128)
         if CHUNK_SIZE < 128:
             padded = jnp.concatenate(
                 [chunk,
@@ -509,8 +555,7 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
         base_ref[:] = jnp.where(mask, base, base_ref[:])
         bw_ref[:] = jnp.where(mask, g(PAR0 + 5).astype(jnp.int32),
                               bw_ref[:])
-        tid_ref[:] = jnp.where(mask, get_cid(s) * CHUNK_SIZE + local,
-                               tid_ref[:])
+        tid_ref[:] = jnp.where(mask, cand, tid_ref[:])
         return 0
 
     jax.lax.fori_loop(0, nwin, interp_body, 0)
@@ -540,9 +585,10 @@ def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
                    plane_i, plane_i, plane_i, plane_i, plane_i, plane_i],
         scratch_shapes=[
             pltpu.SMEM((8, 128), jnp.int32),
-            pltpu.VMEM((NBUF, CHUNK_SIZE, 128), jnp.float32),
+            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, 128), jnp.float32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),
             pltpu.SMEM((8, 128), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
@@ -592,6 +638,8 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
         bbox.reshape(C, CHUNK_SIZE, 4))
     setup_c = setup_c.at[:, :, REC0:REC0 + REC_LANES].set(
         records.reshape(C, CHUNK_SIZE, REC_LANES))
+    # RUN_CHUNKS-1 zero tail chunks keep the fixed-size run DMA in-bounds.
+    setup_c = jnp.pad(setup_c, ((0, RUN_CHUNKS - 1), (0, 0), (0, 0)))
 
     z, vary, mat, tw, th, base, bw, tid = _run_fused(
         setup_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, tiles_y,

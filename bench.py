@@ -86,10 +86,15 @@ def main() -> None:
         np.asarray(outs.image)
         return time.perf_counter() - t0
 
+    # Pinned protocol (round-3 reproducibility): fixed warmup, then THREE
+    # timed passes; the headline is the MEDIAN.  The tunneled device
+    # intermittently runs whole passes at ~half speed (measured: 9.2 /
+    # 4.8 / 9.4 FPS for identical code in one process), so a single pass
+    # is meaningless and the median of three is the honest steady-state.
     if fresh:
         # Reference parity: shadow re-rendered inside every frame.
         flythrough(3)
-        dt = flythrough(frames)
+        passes = [frames / flythrough(frames) for _ in range(3)]
         shadow_mode = "fresh per frame (reference parity, src/lib.rs:1721)"
     else:
         # Steady state: frame executable first (ones map), the shadow pass
@@ -103,12 +108,13 @@ def main() -> None:
         tbl_dev = jax.device_put(
             np.asarray(build_shadow_table(jnp.asarray(sh_np))))
         flythrough(3, table=tbl_dev)
-        dt = flythrough(frames, table=tbl_dev)
+        passes = [frames / flythrough(frames, table=tbl_dev)
+                  for _ in range(3)]
         shadow_mode = ("cached while sun static (rendered once, PCF table "
                        "prebuilt, host round-trip; steady-state "
                        "interactive behavior)")
 
-    fps = frames / dt
+    fps = sorted(passes)[1]  # median of 3
     tris = int(np.asarray(scene.tri_valid).sum())
     result = {
         "metric": "fps_1080p_sponza_standin_lit_shadow_v5e"
@@ -125,8 +131,21 @@ def main() -> None:
             "backend": cfg.raster_backend,
             "device": str(jax.devices()[0]),
             "mtris_per_sec": round(tris * fps / 1e6, 1),
+            "protocol": "median of 3 timed passes after fixed warmup",
+            "passes_fps": [round(p, 3) for p in passes],
         },
     }
+    # Attach the latest measured reference-parity (--fresh) number, if a
+    # recorded artifact exists (the fresh-mode executable is a different
+    # heavyweight program and must run in its own process on this runtime).
+    try:
+        import os
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FRESH.json")
+        if not fresh and os.path.exists(p):
+            result["detail"]["fresh_mode_recorded"] = json.load(open(p))
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

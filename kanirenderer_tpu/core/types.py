@@ -20,6 +20,8 @@ import enum
 import os as _os
 from typing import NamedTuple
 
+import numpy as _np
+
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -36,6 +38,16 @@ CHUNK_SIZE = int(_os.environ.get("KANI_CHUNK_SIZE", "64"))
 # kernel at sponza scale (docs/PERFORMANCE.md).  ≤ 8 (4-bit len encoding).
 RUN_CHUNKS = int(_os.environ.get("KANI_RUN_CHUNKS", "4"))
 assert 1 <= RUN_CHUNKS <= 8
+
+# Triangles per raster-kernel sub-batch.  The binner precomputes, per
+# (tile, run) entry, one overlap BIT per subbatch (tile rect vs subbatch
+# bbox), so the kernels skip non-overlapping subbatches with a pure
+# scalar branch — no in-kernel vector reduce + scalar round trip.
+SUBBATCH = int(_os.environ.get("KANI_SUBBATCH", "16"))
+assert CHUNK_SIZE % SUBBATCH == 0, "SUBBATCH must divide CHUNK_SIZE"
+SUBS_PER_CHUNK = CHUNK_SIZE // SUBBATCH
+assert RUN_CHUNKS * SUBS_PER_CHUNK <= 32, \
+    "run mask must fit an int32 (RUN_CHUNKS x CHUNK_SIZE/SUBBATCH bits)"
 
 
 class RenderMode(enum.IntEnum):
@@ -87,16 +99,27 @@ class Scene(NamedTuple):
     # --- materials / textures ---
     # Per-texture block-window tables: each texture is tiled into
     # 6×4-texel blocks whose Repeat-wrapped 7×5 windows (35 texels × RGB
-    # = 105 lanes) form one 128-lane bf16 row — a pixel's whole 2×2
-    # bilinear footprint lives in ONE gathered row per texture, and
-    # table size stays small enough for the TPU row-gather fast path
-    # (filtering accumulates in f32 — see ops/sampling.py).
-    tex_diffuse: Array    # (R, 128) bf16 linear RGB (sRGB pre-decoded)
-    tex_normal: Array     # (R, 128) bf16 raw normal-map RGB
+    # = 105 lanes) form one 128-lane row — a pixel's whole 2×2 bilinear
+    # footprint lives in ONE gathered row per texture, and table size
+    # stays small enough for the TPU row-gather fast path (filtering
+    # accumulates in f32 — see ops/sampling.py).  Dtypes: diffuse is
+    # sqrt-encoded u8 (decode = v²/65025, ~bf16 accuracy at half the
+    # bytes); normal is raw unorm at SOURCE depth — u8 / u16 / f32,
+    # mirroring reference src/texture.rs:113-129 format selection.
+    tex_diffuse: Array    # (R, 128) u8, round(sqrt(linear RGB)·255)
+    tex_normal: Array     # (R, 128) u8/u16/f32 raw normal-map RGB
     mat_blk_base: Array   # (M,) i32 first block row of each material
     mat_blk_w: Array      # (M,) i32 blocks per texture row (= ceil(w/6))
     mat_tex_size: Array   # (M, 2) i32 (w, h) texels (normal maps are
     #                       resampled to the diffuse resolution at load)
+    # Combined diffuse+normal table (all-u8 scenes): 3×4-texel blocks,
+    # 4×5 window × 6 channels = 120 lanes — ONE gather serves both
+    # textures (ops/sampling.sample_materials_combined).  When non-empty
+    # it REPLACES tex_diffuse/tex_normal (which are then (0, 128)) and
+    # mat_blk_base/mat_blk_w use its 3-texel-wide block geometry.
+    # Scenes with u16/f32 normal maps keep the separate tables (source
+    # bit depth preserved, reference src/texture.rs:113-129).
+    tex_combined: Array = _np.zeros((0, 128), _np.uint8)
 
     @property
     def num_vertices(self) -> int:
@@ -202,14 +225,14 @@ class RenderConfig:
     shadow_tile_h: int = 64  # taller tiles suit the dense ortho projection
     # Reuse the shadow map across frames while sun+geometry are static —
     # the steady-state behavior of the interactive loop (the reference
-    # re-renders every frame, src/lib.rs:1721).  The fresh/cached switch
-    # is a lax.cond inside ONE executable (passes/frame.render_frame).
-    # Default OFF: the tunneled axon v5e runtime corrupts device state
-    # when a cached 2048² buffer is re-fed across invocations — via
-    # lax.cond, as a plain executable input, and even carried through a
-    # lax.scan (all three reproduced; see docs/PERFORMANCE.md).  The path
-    # is correct on CPU and standard TPU runtimes (covered by tests).
-    cache_shadow_map: bool = False
+    # re-renders every frame, src/lib.rs:1721).  The loop implements this
+    # by caching the prebuilt PCF block table host-side and feeding it to
+    # the frame executable (runtime/loop.py) — the one executable-ordering
+    # pattern that is also safe on the tunneled axon runtime (bench.py's
+    # steady state; the in-executable lax.cond switch render_frame also
+    # offers corrupts device state there — docs/PERFORMANCE.md).  False =
+    # the reference's fresh-per-frame parity behavior.
+    cache_shadow_map: bool = True
     # Deferred pipeline (the reference stubbed it, src/lib.rs:730-736):
     # G-buffer write + world-space deferred lighting instead of the
     # forward tangent-space path.  Applies to LIT/LIT_SHADOW/DEBUG modes.

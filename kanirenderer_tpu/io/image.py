@@ -145,6 +145,12 @@ def decode_png(data: bytes) -> np.ndarray:
 
 def load_image_bytes(data: bytes) -> np.ndarray:
     """Decode image bytes to (H, W, C) with native dtype (uint8/uint16/f32)."""
+    # 16-bit RGB(A) PNGs: PIL silently converts to 8-bit "RGB" mode, which
+    # would defeat the reference's format-by-source-depth normal maps
+    # (src/texture.rs:113-129) — decode those with the native-path decoder.
+    if (data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 24
+            and data[24] == 16):
+        return decode_png(data)
     if _HAVE_PIL:
         try:
             img = _PILImage.open(_io.BytesIO(data))
@@ -221,6 +227,30 @@ def to_rgba8(img: np.ndarray) -> np.ndarray:
     return out
 
 
+def to_rgba_native(img: np.ndarray) -> np.ndarray:
+    """Convert a decoded image to 4-channel RGBA at its NATIVE bit depth
+    (u8/u16/float preserved) — the reference keeps Rgba16Unorm /
+    Rgba32Float for high-depth normal maps (src/texture.rs:113-129)."""
+    if img.dtype == np.uint8:
+        return to_rgba8(img)
+    one = np.uint16(65535) if img.dtype == np.uint16 else img.dtype.type(1)
+    c = img.shape[-1]
+    h, w = img.shape[:2]
+    out = np.empty((h, w, 4), img.dtype)
+    if c == 1:      # L
+        out[..., :3] = img
+        out[..., 3] = one
+    elif c == 2:    # LA
+        out[..., :3] = img[..., :1]
+        out[..., 3] = img[..., 1]
+    elif c == 3:
+        out[..., :3] = img
+        out[..., 3] = one
+    else:
+        out[:] = img[..., :4]
+    return out
+
+
 def load_texture_rgba8(path: str, is_normal_map: bool,
                        opengl_mode: bool) -> np.ndarray:
     """Full reference-texture load pipeline → RGBA8.
@@ -242,16 +272,36 @@ def load_texture_rgba8(path: str, is_normal_map: bool,
     return to_rgba8(img)
 
 
+def load_texture_native(path: str, is_normal_map: bool,
+                        opengl_mode: bool) -> np.ndarray:
+    """Like ``load_texture_rgba8`` but preserving the source bit depth
+    (u8/u16/float), for normal maps — the reference selects Rgba8Unorm /
+    Rgba16Unorm / Rgba32Float by source color type (texture.rs:113-129).
+    The V-flip and green-inversion already operate at native depth."""
+    img = load_image(path)
+    if img is None:
+        return default_normal_image()
+    if opengl_mode:
+        img = flip_vertical(img)
+        if is_normal_map:
+            img = invert_green(img)
+    return to_rgba_native(img)
+
+
 # ---------------------------------------------------------------------------
 # Minimal PNG encode (for frame dumps; see runtime/display.py)
 # ---------------------------------------------------------------------------
 
 def encode_png(img: np.ndarray) -> bytes:
-    """Encode (H, W, 3|4) uint8 to PNG bytes (filter 0, zlib level 6)."""
+    """Encode (H, W, 3|4) uint8 — or uint16 (16-bit PNG) — to PNG bytes
+    (filter 0, zlib level 6)."""
     img = np.ascontiguousarray(img)
     h, w = img.shape[:2]
     c = img.shape[2] if img.ndim == 3 else 1
     ctype = {1: 0, 3: 2, 4: 6}[c]
+    depth = 16 if img.dtype == np.uint16 else 8
+    if depth == 16:
+        img = img.astype(">u2")  # PNG stores 16-bit big-endian
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     comp = zlib.compress(raw, 6)
 
@@ -259,7 +309,7 @@ def encode_png(img: np.ndarray) -> bytes:
         return (struct.pack(">I", len(payload)) + tag + payload
                 + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", comp) + chunk(b"IEND", b""))
 

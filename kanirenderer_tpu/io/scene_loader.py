@@ -220,43 +220,93 @@ class SceneBuilder:
             tri_valid[ntris:] = False
 
         # Block-window texel tables (see core/types.Scene): per material,
-        # the normal map is resampled to the diffuse resolution, both are
-        # converted to f32 (diffuse sRGB→linear: the Rgba8UnormSrgb view,
-        # reference src/texture.rs:128; normals raw), then each texture is
-        # tiled into 6×4 blocks whose Repeat-wrapped 7×5 windows become
-        # one 128-lane row (ops/sampling.build_material_blocks).  bf16
-        # keeps the tables on the gather fast path at ~0.4% relative
-        # texel error — finer than the 8-bit sRGB sources.
-        from kanirenderer_tpu.ops.sampling import build_material_blocks
-        dblocks_list = []
-        nblocks_list = []
-        blk_base = []
-        blk_w = []
-        tex_size = []
-        base = 0
+        # the normal map is resampled to the diffuse resolution, then the
+        # textures are tiled into block rows for the TPU row-gather fast
+        # path (ops/sampling.py).  Diffuse is sRGB u8 source → linear
+        # (the Rgba8UnormSrgb view, reference src/texture.rs:128) →
+        # sqrt-encoded u8 (round(sqrt(linear)·255); decode is one square
+        # in the sampler — ~0.4% relative texel error, same as bf16 at
+        # half the bytes).  All-u8 scenes pack diffuse+normal into ONE
+        # combined table (one gather per pixel for both textures);
+        # u16/f32 normal maps keep separate tables at SOURCE bit depth,
+        # mirroring the reference's format-by-color-type selection
+        # (src/texture.rs:113-129).
+        from kanirenderer_tpu.ops.sampling import (CMB_BX, MAT_BX,
+                                                   build_combined_blocks,
+                                                   build_material_blocks)
+        texdata = []     # (sqrt-u8 diffuse, native-depth normal, w, h)
         textures = self.textures or [MaterialTextures(
             "default", default_normal_image(), default_normal_image())]
         for t in textures:
             d = _srgb_to_linear_np(t.diffuse[..., :3].astype(np.float32)
                                    / 255.0)
-            n = t.normal[..., :3].astype(np.float32) / 255.0
-            h, w = d.shape[:2]
+            d8 = np.round(np.sqrt(np.clip(d, 0.0, 1.0)) * 255.0) \
+                .astype(np.uint8)
+            n = t.normal[..., :3]
+            if n.dtype in (np.float64,):
+                n = n.astype(np.float32)
+            h, w = d8.shape[:2]
             if n.shape[:2] != (h, w):
                 yi = (np.arange(h) * n.shape[0] // h)
                 xi = (np.arange(w) * n.shape[1] // w)
                 n = n[yi][:, xi]
-            dblocks_list.append(build_material_blocks(d))
-            nblocks_list.append(build_material_blocks(n))
-            blk_base.append(base)
-            blk_w.append(-(-w // 6))
-            tex_size.append((w, h))
-            base += dblocks_list[-1].shape[0]
-        tex_diffuse = jnp.asarray(
-            np.concatenate(dblocks_list).astype(np.float32),
-            dtype=jnp.bfloat16)
-        tex_normal = jnp.asarray(
-            np.concatenate(nblocks_list).astype(np.float32),
-            dtype=jnp.bfloat16)
+            texdata.append((d8, n, w, h))
+
+        ndts = {n.dtype for _, n, _, _ in texdata}
+        if any(np.issubdtype(dt, np.floating) for dt in ndts):
+            ndt = np.float32
+        elif np.dtype(np.uint16) in ndts:
+            ndt = np.uint16
+        else:
+            ndt = np.uint8
+
+        blk_base: list = []
+        blk_w: list = []
+        tex_size: list = []
+        base = 0
+        empty_u8 = jnp.zeros((0, 128), jnp.uint8)
+        if ndt == np.uint8:
+            # All-u8 scene: ONE combined diffuse+normal table — a single
+            # per-pixel gather serves both textures (the common/fast path).
+            rows = []
+            for d8, n, w, h in texdata:
+                rows.append(build_combined_blocks(d8, n))
+                blk_base.append(base)
+                blk_w.append(-(-w // CMB_BX))
+                tex_size.append((w, h))
+                base += rows[-1].shape[0]
+            tex_combined = jnp.asarray(np.concatenate(rows))
+            tex_diffuse = empty_u8
+            tex_normal = empty_u8
+        else:
+            # High-depth normal maps present: keep separate tables so the
+            # normals stay at SOURCE bit depth (u16/f32 — the reference's
+            # format-by-color-type selection, src/texture.rs:113-129);
+            # mixed scenes promote losslessly (u8→u16 is ×257).
+            def promote(b):
+                if b.dtype == ndt:
+                    return b
+                if ndt == np.uint16:          # u8 → u16, lossless
+                    return b.astype(np.uint16) * 257
+                if b.dtype == np.uint8:       # u8 → f32
+                    return b.astype(np.float32) / 255.0
+                if b.dtype == np.uint16:      # u16 → f32
+                    return b.astype(np.float32) / 65535.0
+                return b.astype(np.float32)
+
+            dblocks_list = []
+            nblocks_list = []
+            for d8, n, w, h in texdata:
+                dblocks_list.append(build_material_blocks(d8))
+                nblocks_list.append(build_material_blocks(n))
+                blk_base.append(base)
+                blk_w.append(-(-w // MAT_BX))
+                tex_size.append((w, h))
+                base += dblocks_list[-1].shape[0]
+            tex_diffuse = jnp.asarray(np.concatenate(dblocks_list))
+            tex_normal = jnp.asarray(
+                np.concatenate([promote(b) for b in nblocks_list]))
+            tex_combined = empty_u8
         mat_blk_base = np.asarray(blk_base, np.int32)
         mat_blk_w = np.asarray(blk_w, np.int32)
         mat_tex_size = np.asarray(tex_size, np.int32)
@@ -287,6 +337,7 @@ class SceneBuilder:
             mat_blk_base=jnp.asarray(mat_blk_base),
             mat_blk_w=jnp.asarray(mat_blk_w),
             mat_tex_size=jnp.asarray(mat_tex_size),
+            tex_combined=tex_combined,
         )
 
 
@@ -300,7 +351,12 @@ def _load_or_default(tex_dir: str, tex_name: str | None, is_normal: bool,
         # we try CWD then the model's directory.
         for cand in (tex_name, os.path.join(tex_dir, tex_name)):
             if os.path.exists(cand):
-                return image_mod.load_texture_rgba8(cand, is_normal, opengl)
+                if is_normal:
+                    # Normal maps keep their source bit depth (u8/u16/f32),
+                    # like the reference's format-by-color-type selection
+                    # (src/texture.rs:113-129).
+                    return image_mod.load_texture_native(cand, True, opengl)
+                return image_mod.load_texture_rgba8(cand, False, opengl)
     return image_mod.default_normal_image()
 
 

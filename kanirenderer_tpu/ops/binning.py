@@ -29,7 +29,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from kanirenderer_tpu.core.types import CHUNK_SIZE, RUN_CHUNKS
+from kanirenderer_tpu.core.types import (CHUNK_SIZE, RUN_CHUNKS, SUBBATCH,
+                                         SUBS_PER_CHUNK)
 
 Array = jnp.ndarray
 
@@ -39,27 +40,36 @@ _SENTINEL = jnp.int32(2**31 - 1)
 class TileBins(NamedTuple):
     tile_lists: Array   # (tiles_y, tiles_x, L) i32 chunk ids, -1 padded
     tile_counts: Array  # (tiles_y, tiles_x) i32 valid prefix length
-    packed: Array       # (num_tiles, 8, 128) i32 — flat slot 0 = RUN count,
-    #                     slots 1.. = run entries ``cid0·16 + len`` (a run =
-    #                     ``len`` ≤ RUN_CHUNKS chunks with consecutive ids,
-    #                     so the Pallas kernel fetches a whole run with ONE
-    #                     DMA of RUN_CHUNKS·CHUNK_SIZE setup rows instead of
-    #                     one DMA+sync per chunk — Morton-sorted chunk ids
-    #                     make consecutive list entries the common case)
+    packed: Array       # (num_tiles, 16, 128) i32 — flat slot 0 = RUN
+    #                     count, slots 1.. = run entries ``cid0·16 + len``
+    #                     (a run = ``len`` ≤ RUN_CHUNKS chunks with
+    #                     consecutive ids, so the Pallas kernel fetches a
+    #                     whole run with ONE DMA instead of one DMA+sync
+    #                     per chunk — Morton-sorted chunk ids make
+    #                     consecutive list entries the common case); flat
+    #                     slots 1024.. = per-run SUBBATCH MASKS (bit
+    #                     k·SUBS_PER_CHUNK+s = subbatch s of run chunk k
+    #                     overlaps this tile), so the kernels skip
+    #                     subbatches with a pure scalar branch — no
+    #                     in-kernel vector reduce + scalar sync.
     num_chunks: int     # C (static)
     overflow: Array     # () i32 — chunks DROPPED by the per-tile /global
     #                     caps this frame (0 = complete geometry; callers
     #                     and tests can assert/log on it)
 
 
-def _pack_runs(lists: Array, num_tiles: int) -> Array:
-    """(num_tiles, L) sorted chunk-id lists (−1 padded) → packed run lists.
+def _pack_runs(lists: Array, masks: Array, num_tiles: int) -> Array:
+    """(num_tiles, L) sorted chunk-id lists (−1 padded) + per-position
+    subbatch masks → packed run lists with per-run masks.
 
     Runs of ≤ RUN_CHUNKS *consecutive* chunk ids collapse to one entry
-    ``cid0·16 + len``.  All dense vector work: break detection, a
-    cummax-based position-within-run, run-length via shifted stop flags,
-    and one row-wise sort to compact run starts to a dense prefix."""
+    ``cid0·16 + len``; the run's mask ORs the member chunks' subbatch
+    bits shifted by SUBS_PER_CHUNK per chunk.  All dense vector work:
+    break detection, a cummax-based position-within-run, run-length via
+    shifted stop flags, and one row-wise key+payload sort to compact run
+    starts to a dense prefix."""
     R = RUN_CHUNKS
+    NSB = SUBS_PER_CHUNK
     L = lists.shape[1]
     valid = lists >= 0
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -70,25 +80,32 @@ def _pack_runs(lists: Array, num_tiles: int) -> Array:
     pos = idx - first                       # position within maximal run
     newrun = valid & (brk | (pos % R == 0))
     stop = newrun | ~valid
-    # run length = distance to the next stop flag, ≤ R by construction
+    # run length = distance to the next stop flag, ≤ R by construction;
+    # run mask = OR of member masks shifted into 4-bit chunk fields
     ln = jnp.ones_like(lists)
+    rmask = jnp.where(valid, masks, 0)
     alive = jnp.ones_like(valid)
     for k in range(1, R):
         nxt = jnp.concatenate(
             [stop[:, k:], jnp.ones((num_tiles, k), bool)], axis=1)
         alive = alive & ~nxt
         ln = ln + alive.astype(jnp.int32)
+        mk = jnp.concatenate(
+            [masks[:, k:], jnp.zeros((num_tiles, k), masks.dtype)], axis=1)
+        rmask = rmask | jnp.where(alive, mk << (NSB * k), 0)
     entries = jnp.where(newrun, lists * 16 + ln, _SENTINEL)
-    entries = jnp.sort(entries, axis=1)
+    entries, rmask = jax.lax.sort((entries, rmask), dimension=1, num_keys=1)
     entries = jnp.where(entries == _SENTINEL, -1, entries)
     run_count = newrun.sum(axis=1).astype(jnp.int32)
 
     flat = jnp.concatenate([run_count[:, None], entries], axis=1)
-    cap = 8 * 128
-    if flat.shape[1] > cap:
-        raise ValueError(f"tile list capacity {flat.shape[1]} exceeds {cap}")
-    return jnp.pad(flat, ((0, 0), (0, cap - flat.shape[1])),
-                   constant_values=-1).reshape(num_tiles, 8, 128)
+    half = 8 * 128
+    if flat.shape[1] > half or L > half:
+        raise ValueError(f"tile list capacity {flat.shape[1]} exceeds {half}")
+    flat = jnp.pad(flat, ((0, 0), (0, half - flat.shape[1])),
+                   constant_values=-1)
+    mflat = jnp.pad(rmask, ((0, 0), (0, half - L)))
+    return jnp.concatenate([flat, mflat], axis=1).reshape(num_tiles, 16, 128)
 
 
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
@@ -118,6 +135,28 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     cy1 = bt[3].max(axis=-1)
     nonempty = (cx1 > cx0) & (cy1 > cy0)
 
+    # Per-subbatch bboxes for the kernel skip masks (one bit per subbatch
+    # per (tile, chunk) — computed here so the kernel's skip is a pure
+    # scalar branch instead of a vector reduce + scalar-core sync).
+    sb = bt.reshape(4, C, SUBS_PER_CHUNK, SUBBATCH)
+    sx0 = sb[0].min(axis=-1)                 # (C, NSB)
+    sy0 = sb[1].min(axis=-1)
+    sx1 = sb[2].max(axis=-1)
+    sy1 = sb[3].max(axis=-1)
+
+    def subbatch_bits(txi, tyi, x0, y0, x1, y1):
+        """Overlap bits of subbatch bboxes vs tile rects.
+
+        txi/tyi: integer tile coords, shape B; x0..y1: (…, NSB) bboxes
+        broadcastable against B + (1,).  Returns (…,) i32 bit-packed."""
+        tx0p = (txi * tile_w).astype(jnp.float32)[..., None]
+        ty0p = (tyi * tile_h).astype(jnp.float32)[..., None]
+        hit = ((x0 < tx0p + tile_w) & (x1 > tx0p)
+               & (y0 < ty0p + tile_h) & (y1 > ty0p))
+        weights = jnp.asarray([1 << s for s in range(SUBS_PER_CHUNK)],
+                              jnp.int32)
+        return (hit.astype(jnp.int32) * weights).sum(axis=-1)
+
     tx0 = jnp.clip((cx0 // tile_w).astype(jnp.int32), 0, tiles_x - 1)
     ty0 = jnp.clip((cy0 // tile_h).astype(jnp.int32), 0, tiles_y - 1)
     tx1 = jnp.clip(((cx1 - 1.0) // tile_w).astype(jnp.int32), 0, tiles_x - 1)
@@ -132,13 +171,20 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     slots = jnp.arange(S, dtype=jnp.int32)[None, :]     # (1, S)
     dx = slots % span_w[:, None]
     dy = slots // span_w[:, None]
-    tile_id = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
+    txi = tx0[:, None] + dx
+    tyi = ty0[:, None] + dy
+    tile_id = tyi * tiles_x + txi
     chunk_id = jnp.arange(C, dtype=jnp.int32)[:, None]
     key = tile_id * C + chunk_id
     valid_slot = small[:, None] & (slots < span[:, None])
     key = jnp.where(valid_slot, key, _SENTINEL)
+    # subbatch masks ride the sort as a payload
+    mexp = subbatch_bits(txi, tyi, sx0[:, None], sy0[:, None],
+                         sx1[:, None], sy1[:, None])
+    mexp = jnp.where(valid_slot, mexp, 0)
 
-    skey = jnp.sort(key.reshape(-1))                    # (C*S,)
+    skey, smask = jax.lax.sort((key.reshape(-1), mexp.reshape(-1)),
+                               num_keys=1)              # (C*S,)
     schunk = jnp.where(skey == _SENTINEL, -1, skey % C)
 
     # --- per-tile ranges ---
@@ -161,16 +207,28 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     in_local = slot_l < counts[:, None]
     local_idx = jnp.clip(starts[:, None] + slot_l, 0, C * S - 1)
     local_val = schunk[local_idx]
+    local_msk = smask[local_idx]
     gslot = jnp.clip(slot_l - counts[:, None], 0, G - 1)
     gval = gids[gslot]
     in_glob = (slot_l >= counts[:, None]) & (slot_l < counts[:, None] + gcount)
     lists = jnp.where(in_local, local_val, jnp.where(in_glob, gval, -1))
     total = counts + gcount
 
-    # Packed layout for the Pallas kernel: each tile's row padded into an
-    # (8, 128) int32 block (DMA slices must be tile-aligned on TPU).
-    # Flat slot 0 = run count, slots 1.. = cid0·16+len run entries.
-    packed = _pack_runs(lists, num_tiles)
+    # Global chunks skip the expansion, so compute their masks densely:
+    # (num_tiles, G, NSB) tests against each tile rect (G is small).
+    gc = jnp.clip(gids, 0, C - 1)
+    gmask = subbatch_bits((tids % tiles_x)[:, None], (tids // tiles_x)[:, None],
+                          sx0[gc][None], sy0[gc][None],
+                          sx1[gc][None], sy1[gc][None])   # (num_tiles, G)
+    gmask_l = jnp.take_along_axis(gmask, gslot, axis=1)
+    masks = jnp.where(in_local, local_msk,
+                      jnp.where(in_glob, gmask_l, 0))
+
+    # Packed layout for the Pallas kernel: each tile's rows padded into a
+    # (16, 128) int32 block (DMA slices must be tile-aligned on TPU).
+    # Flat slot 0 = run count, slots 1.. = cid0·16+len run entries,
+    # slots 1024.. = per-run subbatch masks.
+    packed = _pack_runs(lists, masks, num_tiles)
     return TileBins(
         tile_lists=lists.reshape(tiles_y, tiles_x, L),
         tile_counts=total.reshape(tiles_y, tiles_x),

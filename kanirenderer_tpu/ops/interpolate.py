@@ -40,6 +40,9 @@ class PixelBuffer(NamedTuple):
     blk_w: Array     # (H, W) i32  blocks per texture row (ceil(w/6))
     mask: Array      # (H, W) bool — True where geometry covers the pixel
     z: Array         # (H, W) f32 depth
+    overflow: Array = jnp.zeros((), jnp.int32)  # () i32 — chunks DROPPED
+    #   by binning capacity caps (Pallas path; 0 = complete geometry).
+    #   Surfaced through FrameOutputs so the host loop can warn.
 
 
 def build_tri_records(tri_idx: Array, tri_mat: Array, varyings: Array,

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kanirenderer_tpu.core.types import CHUNK_SIZE, RUN_CHUNKS, RenderConfig
+from kanirenderer_tpu.core.types import (CHUNK_SIZE, RUN_CHUNKS, SUBBATCH,
+                                         SUBS_PER_CHUNK, RenderConfig)
 from kanirenderer_tpu.ops import binning
 from kanirenderer_tpu.ops.interpolate import USED, PixelBuffer
 from kanirenderer_tpu.ops.raster_xla import VisBuffer
@@ -37,19 +38,14 @@ from kanirenderer_tpu.ops.vertex import NS, TriangleSetup
 
 Array = jnp.ndarray
 
-SUBBATCH = int(_os.environ.get("KANI_SUBBATCH", "16"))
-STRIP_H = 8   # strip rows for per-subbatch y-granular evaluation
 NBUF = int(_os.environ.get("KANI_NBUF", "4"))  # chunk DMA pipeline depth
-# Per-subbatch bbox rejection can be disabled for measurement: at large
-# CHUNK sizes the any()-reduce + branch per subbatch may cost more than
-# the skipped evaluations save.
+# Per-subbatch bbox rejection (via the binner's precomputed mask bits) can
+# be disabled for measurement: KANI_SUBBATCH_SKIP=0 evaluates every
+# subbatch of every listed chunk.
 SUBBATCH_SKIP = _os.environ.get("KANI_SUBBATCH_SKIP", "1") != "0"
-# Guard the env-overridable geometry: a non-dividing subbatch would
-# silently drop each chunk's tail triangles; >128-triangle chunks break
-# the phase-2 128-lane LUT.
-assert CHUNK_SIZE % SUBBATCH == 0 and CHUNK_SIZE <= 128, \
-    f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be a multiple of " \
-    f"KANI_SUBBATCH={SUBBATCH} and at most 128"
+# >128-triangle chunks break the phase-2 128-lane LUT.
+assert CHUNK_SIZE <= 128, \
+    f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be at most 128"
 _BIG = float("inf")
 
 # Chunk-row lane layout for the fused raster+interpolate kernel:
@@ -96,6 +92,10 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
     def get_entry(s):
         t = s + 1
         return list_smem[t // 128, t % 128]
+
+    def get_mask(s):
+        # Per-run subbatch overlap bits (second half of the packed block).
+        return list_smem[8 + s // 128, s % 128]
 
     def dma(slot, cid0):
         # One DMA per RUN: RUN_CHUNKS consecutive chunks' setup rows
@@ -206,29 +206,27 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
         entry = get_entry(s)
         cid0 = entry // 16
         ln = entry % 16
+        mask = get_mask(s)
         dma(slot, cid0).wait()
 
         for k in range(RUN_CHUNKS):
-            @pl.when(k < ln)
-            def _(k=k):
+            # Precomputed subbatch overlap bits make the skip a pure
+            # scalar branch (no vector reduce + scalar-core sync).
+            mk = (mask >> (SUBS_PER_CHUNK * k)) % (1 << SUBS_PER_CHUNK)
+            guard_k = mk > 0 if SUBBATCH_SKIP else k < ln
+
+            @pl.when(guard_k)
+            def _(k=k, mk=mk):
                 chunk = chunk_buf[slot, k]   # (CHUNK_SIZE, 128)
                 cid = cid0 + k
-                for b in range(CHUNK_SIZE // SUBBATCH):
+                for b in range(SUBS_PER_CHUNK):
                     rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
 
                     if not SUBBATCH_SKIP:
                         eval_subbatch(rows, cid, b)
                         continue
 
-                    # Subbatch rejection: skip the pixel evaluation when
-                    # none of these triangles' bboxes (setup lanes 16:20)
-                    # touch this tile.
-                    overlap = ((rows[:, NS + 0] < tx0f + tile_w)
-                               & (rows[:, NS + 2] > tx0f)
-                               & (rows[:, NS + 1] < ty0f + tile_h)
-                               & (rows[:, NS + 3] > ty0f))
-
-                    @pl.when(overlap.any())
+                    @pl.when((mk >> b) % 2 > 0)
                     def _(rows=rows, cid=cid, b=b):
                         eval_subbatch(rows, cid, b)
         return 0
@@ -287,7 +285,7 @@ def _run(setup: Array, bins_bbox: Array, bins: binning.TileBins,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((8, 128), jnp.int32),
+            pltpu.SMEM((16, 128), jnp.int32),
             pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((NBUF,)),
@@ -349,6 +347,10 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
     def get_entry(s):
         t = s + 1
         return list_smem[t // 128, t % 128]
+
+    def get_mask(s):
+        # Per-run subbatch overlap bits (second half of the packed block).
+        return list_smem[8 + s // 128, s % 128]
 
     def dma(slot, cid0):
         return pltpu.make_async_copy(
@@ -424,26 +426,27 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
         entry = get_entry(s)
         cid0 = entry // 16
         ln = entry % 16
+        mask = get_mask(s)
         dma(slot, cid0).wait()
 
         for k in range(RUN_CHUNKS):
-            @pl.when(k < ln)
-            def _(k=k):
+            # Precomputed subbatch overlap bits make the skip a pure
+            # scalar branch (no vector reduce + scalar-core sync).
+            mk = (mask >> (SUBS_PER_CHUNK * k)) % (1 << SUBS_PER_CHUNK)
+            guard_k = mk > 0 if SUBBATCH_SKIP else k < ln
+
+            @pl.when(guard_k)
+            def _(k=k, mk=mk):
                 chunk = chunk_buf[slot, k]
                 cid = cid0 + k
-                for b in range(CHUNK_SIZE // SUBBATCH):
+                for b in range(SUBS_PER_CHUNK):
                     rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
 
                     if not SUBBATCH_SKIP:
                         eval_subbatch(rows, cid, b)
                         continue
 
-                    overlap = ((rows[:, NS + 0] < tx0f + tile_w)
-                               & (rows[:, NS + 2] > tx0f)
-                               & (rows[:, NS + 1] < ty0f + tile_h)
-                               & (rows[:, NS + 3] > ty0f))
-
-                    @pl.when(overlap.any())
+                    @pl.when((mk >> b) % 2 > 0)
                     def _(rows=rows, cid=cid, b=b):
                         eval_subbatch(rows, cid, b)
         return 0
@@ -584,7 +587,7 @@ def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
                    jax.ShapeDtypeStruct((USED, ph, pw), jnp.float32),
                    plane_i, plane_i, plane_i, plane_i, plane_i, plane_i],
         scratch_shapes=[
-            pltpu.SMEM((8, 128), jnp.int32),
+            pltpu.SMEM((16, 128), jnp.int32),
             pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, 128), jnp.float32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),
             pltpu.SMEM((8, 128), jnp.int32),
@@ -649,7 +652,8 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
                        tex_w=tw[:H, :W], tex_h=th[:H, :W],
                        blk_base=base[:H, :W], blk_w=bw[:H, :W],
                        mask=tid[:H, :W] >= 0,
-                       z=z[:H, :W])
+                       z=z[:H, :W],
+                       overflow=bins.overflow)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "band_h"))

@@ -70,13 +70,100 @@ _MCH_T = jnp.asarray(
               for c in range(3)], axis=1), np.float32)  # (128, 3)
 
 
+# Combined-table geometry: 3×4-texel blocks, 4×5 window × 6 channels
+# (diffuse RGB + normal RGB interleaved per texel) = 120 lanes — ONE row
+# gather yields a pixel's whole bilinear footprint for BOTH textures,
+# halving the per-pixel gather count vs the separate 6×4 tables.  u8
+# only (sqrt-encoded diffuse + raw unorm normals); scenes with
+# higher-depth normal maps keep the separate-table path for fidelity
+# (reference src/texture.rs:113-129).
+CMB_BX = 3
+CMB_BY = 4
+CMB_WINX = CMB_BX + 1
+CMB_WINY = CMB_BY + 1
+CMB_LANES = CMB_WINX * CMB_WINY * 6    # 120
+_CLANE = np.minimum(np.arange(128), CMB_LANES - 1)
+_CLANE_ROW = jnp.asarray(_CLANE // (CMB_WINX * 6), jnp.int32)
+_CLANE_COL = jnp.asarray((_CLANE // 6) % CMB_WINX, jnp.int32)
+_CLANE_OK = np.arange(128) < CMB_LANES
+# per-lane decode scale: diffuse lanes hold round(sqrt(linear)·255)
+# (decode v²/65025), normal lanes raw u8 unorm (decode v/255)
+_C_DSCALE = jnp.asarray(np.where(_CLANE_OK & (np.arange(128) % 6 < 3),
+                                 1.0 / 65025.0, 0.0), jnp.float32)
+_C_NSCALE = jnp.asarray(np.where(_CLANE_OK & (np.arange(128) % 6 >= 3),
+                                 1.0 / 255.0, 0.0), jnp.float32)
+# (128, 6) channel selector: column c sums the lanes of channel c
+_C_SEL = jnp.asarray(
+    np.stack([(np.arange(128) % 6 == c) & _CLANE_OK for c in range(6)],
+             axis=1), np.float32)
+
+
+def build_combined_blocks(diffuse_u8: "np.ndarray",
+                          normal_u8: "np.ndarray") -> "np.ndarray":
+    """(h, w, 3) u8 sqrt-encoded diffuse + (h, w, 3) u8 raw normal →
+    (ceil(h/4)·ceil(w/3), 128) u8 combined block rows (Repeat-wrapped
+    4×5 windows, lanes (row, col, drgb+nrgb) channel-innermost).
+    Host-side numpy; runs once per texture at scene pack."""
+    h, w = diffuse_u8.shape[:2]
+    bw = -(-w // CMB_BX)
+    bh = -(-h // CMB_BY)
+    ys = (np.arange(bh)[:, None] * CMB_BY + np.arange(CMB_WINY)[None]) % h
+    xs = (np.arange(bw)[:, None] * CMB_BX + np.arange(CMB_WINX)[None]) % w
+    both = np.concatenate([diffuse_u8, normal_u8], axis=-1)   # (h, w, 6)
+    win = both[ys[:, None, :, None], xs[None, :, None, :]]    # (bh,bw,5,4,6)
+    rows = win.reshape(bh * bw, CMB_LANES)
+    return np.pad(rows, ((0, 0), (0, 128 - CMB_LANES)))
+
+
+def sample_materials_combined(tex_combined: Array, blk_base: Array,
+                              blk_w: Array, tw: Array, th: Array,
+                              u: Array, v: Array) -> tuple[Array, Array]:
+    """Single-gather variant of ``sample_materials_blocks``: one row
+    gather from the combined table + one (128, 6) selector matmul
+    produces both the diffuse and the normal sample."""
+    tx = u * tw.astype(jnp.float32) - 0.5
+    ty = v * th.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    fx = tx - x0
+    fy = ty - y0
+    x0i = jnp.mod(x0.astype(jnp.int32), tw)
+    y0i = jnp.mod(y0.astype(jnp.int32), th)
+    bx = x0i // CMB_BX
+    by = y0i // CMB_BY
+    lx = x0i - bx * CMB_BX
+    ly = y0i - by * CMB_BY
+    row = blk_base + by * blk_w + bx
+
+    dxv = _CLANE_COL[None, None, :] - lx[..., None]
+    dyv = _CLANE_ROW[None, None, :] - ly[..., None]
+    wx = jnp.where(dxv == 0, 1.0 - fx[..., None], 0.0) \
+        + jnp.where(dxv == 1, fx[..., None], 0.0)
+    wy = jnp.where(dyv == 0, 1.0 - fy[..., None], 0.0) \
+        + jnp.where(dyv == 1, fy[..., None], 0.0)
+    wgt = wx * wy
+
+    win = jnp.take(tex_combined, row, axis=0)             # (H, W, 128)
+    w32 = win.astype(jnp.float32)
+    s = ((w32 * w32) * _C_DSCALE + w32 * _C_NSCALE) * wgt
+    out6 = jax.lax.dot_general(
+        s.reshape(-1, 128), _C_SEL,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)              # (H·W, 6)
+    out6 = out6.reshape(u.shape + (6,))
+    return (jnp.moveaxis(out6[..., :3], -1, 0),
+            jnp.moveaxis(out6[..., 3:], -1, 0))
+
+
 def build_material_blocks(tex: "np.ndarray") -> "np.ndarray":
-    """(h, w, 3) f32 texture → (ceil(h/4)·ceil(w/6), 128) block rows.
+    """(h, w, 3) texture (any dtype) → (ceil(h/4)·ceil(w/6), 128) block rows.
 
     Row (by·bw + bx) holds the 7×5 window of block (by, bx) with Repeat
     (modulo) addressing baked in, lanes ordered (row, col, channel)
     innermost-channel to match the sampler's channel-selector matmul.
-    Host-side numpy; runs once per texture at scene pack."""
+    Dtype-preserving (u8 sqrt-encoded diffuse, u8/u16/f32 raw normals —
+    see io/scene_loader table packing).  Host-side numpy; runs once per
+    texture at scene pack."""
     h, w = tex.shape[:2]
     bw = -(-w // MAT_BX)
     bh = -(-h // MAT_BY)
@@ -122,9 +209,29 @@ def sample_materials_blocks(tex_diffuse: Array, tex_normal: Array,
         + jnp.where(dyv == 1, fy[..., None], 0.0)
     wgt = wx * wy
 
-    def tex(tbl):
+    def tex(tbl, sqrt_encoded):
+        """Gather + per-texel decode + weighted channel reduction.
+
+        Table dtype drives the decode (quantized tables halve the gather
+        footprint — the row-gather fast path needs small tables):
+        * uint8 + sqrt_encoded — diffuse stores round(sqrt(linear)·255);
+          decode = v²/65025 (texel-exact square, no transcendental), same
+          ~0.4% precision as bf16 at half the bytes;
+        * uint8 / uint16 raw — normal maps at exact source depth
+          (reference texture.rs:113-129 picks the format by source type);
+          the 1/255 or 1/65535 scale folds into the bilinear weights;
+        * float (f32/bf16) — raw linear values (tests, float sources).
+        """
         win = jnp.take(tbl, row, axis=0)              # (H, W, 128)
-        s = win.astype(jnp.float32) * wgt
+        w32 = win.astype(jnp.float32)
+        if tbl.dtype == jnp.uint8 and sqrt_encoded:
+            s = (w32 * w32) * (wgt * (1.0 / 65025.0))
+        elif tbl.dtype == jnp.uint8:
+            s = w32 * (wgt * (1.0 / 255.0))
+        elif tbl.dtype == jnp.uint16:
+            s = w32 * (wgt * (1.0 / 65535.0))
+        else:
+            s = w32 * wgt
         # One matmul against the constant (128, 3) channel-selector does
         # all three per-channel lane reductions in a single pass over the
         # gathered data (per-channel masked .sum(-1) reductions made XLA
@@ -135,21 +242,28 @@ def sample_materials_blocks(tex_diffuse: Array, tex_normal: Array,
             precision=jax.lax.Precision.HIGHEST)      # (H·W, 3)
         return jnp.moveaxis(rgb.reshape(u.shape + (3,)), -1, 0)
 
-    return tex(tex_diffuse), tex(tex_normal)
+    return tex(tex_diffuse, True), tex(tex_normal, False)
 
 
 def build_shadow_table(shadow_map: Array) -> Array:
-    """(D, D) shadow map → ((D/8)², 128) f32 block-window table.
+    """(D, D) shadow map → ((D/8)², 128) u16 block-window table.
 
     Row (by·NB + bx) holds the clamp-padded 11×11 window anchored at
     texel (8bx−1, 8by−1), flattened row-major into lanes 0..120 (lanes
     121..127 are zero padding).  Built purely from reshapes and
     concatenations of aligned slices (no strided slices — those cost
-    ~80 ms at 2048² on v5e; this form is free)."""
+    ~80 ms at 2048² on v5e; this form is free).
+
+    Depth is quantized to 16-bit unorm (a classic D16 shadow buffer):
+    the table halves to 16.8 MB at 2048², keeping the per-pixel PCF row
+    gather on the fast path; the ≤½-quantum (7.6e-6) comparison shift is
+    orders of magnitude below the shadow depth bias."""
     D = shadow_map.shape[0]
     assert D % _B == 0, "shadow_dim must be a multiple of 8"
     nb = D // _B
-    padded = jnp.pad(shadow_map, ((1, _B), (1, _B)), mode="edge")
+    q = jnp.round(jnp.clip(shadow_map, 0.0, 1.0) * 65535.0) \
+        .astype(jnp.uint16)
+    padded = jnp.pad(q, ((1, _B), (1, _B)), mode="edge")
     # rows: aligned 8-row groups + the next group's first 3 rows
     a = padded[:D + _B].reshape(nb + 1, _B, D + _B + 1)
     w1 = jnp.concatenate([a[:-1], a[1:, :3]], axis=1)      # (nb, 11, D+9)
@@ -179,7 +293,13 @@ def sample_shadow_pcf(shadow_table: Array, dim: int, u: Array, v: Array,
     lx = x0i & (_B - 1)
 
     win = jnp.take(shadow_table, blk, axis=0)            # (H, W, 128)
-    cmp = (depth[..., None] <= win.astype(jnp.float32)).astype(jnp.float32)
+    # u16-unorm depth compare (quantized like build_shadow_table); float
+    # tables (tests) compare raw.
+    if shadow_table.dtype == jnp.uint16:
+        dq = depth[..., None] * 65535.0
+    else:
+        dq = depth[..., None]
+    cmp = (dq <= win.astype(jnp.float32)).astype(jnp.float32)
 
     # Separable footprint weights over window lanes: a tap at window
     # offset (dy, dx) ∈ [0,4)² from the anchor (ly, lx) carries weight

@@ -40,6 +40,9 @@ class FrameOutputs(NamedTuple):
     image: Array   # (H, W, 3) f32 display-encoded (sRGB for LDR, linear HDR)
     depth: Array   # (H, W) f32 scene depth (for picking / debug)
     shadow: Array  # (shadow_dim, shadow_dim) f32 (all-ones when pass skipped)
+    raster_overflow: Array = jnp.zeros((), jnp.int32)  # () i32 — chunks
+    #   dropped by binning capacity caps (0 = complete geometry; the host
+    #   loop warns when nonzero — capacity overruns must not be silent)
 
 
 def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
@@ -268,7 +271,8 @@ def render_band(scene: Scene, state: FrameState,
         shadow_out = jnp.zeros((1, 1), jnp.float32)
     else:
         shadow_out = shadow_emit
-    return FrameOutputs(image=image, depth=pix.z, shadow=shadow_out)
+    return FrameOutputs(image=image, depth=pix.z, shadow=shadow_out,
+                        raster_overflow=pix.overflow)
 
 
 @partial(jax.jit, static_argnames=("config",))

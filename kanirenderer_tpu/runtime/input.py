@@ -77,6 +77,17 @@ class EventAccumulator:
             self._dy += y - self._last_xy[1]
         self._last_xy = (x, y)
 
+    def raw_move(self, dx: float, dy: float) -> None:
+        """Raw relative deltas (the pointer-warp mouse-look grab below;
+        ≈ the reference's DeviceEvent::MouseMotion, src/lib.rs:2092-2102)."""
+        self._dx += dx
+        self._dy += dy
+
+    def reset_pointer(self) -> None:
+        """Forget the last absolute position (after a grab ends, so the
+        warp-displaced pointer doesn't register as one huge delta)."""
+        self._last_xy = None
+
     def button_press(self, num: int, x: float, y: float) -> None:
         if num == 1:
             self._click = (x, y)
@@ -146,10 +157,40 @@ class InteractiveWindow:
         acc = self.acc
         root.bind("<KeyPress>", lambda e: acc.key_press(e.keysym))
         root.bind("<KeyRelease>", lambda e: acc.key_release(e.keysym))
-        root.bind("<Motion>", lambda e: acc.mouse_move(e.x, e.y))
-        root.bind("<ButtonPress>",
-                  lambda e: acc.button_press(e.num, e.x, e.y))
-        root.bind("<ButtonRelease>", lambda e: acc.button_release(e.num))
+
+        # Mouse-look grab (reference src/lib.rs:2066-2080: cursor is
+        # confined+hidden while RMB is held and look uses RAW device
+        # deltas).  tk has no raw-motion API, so emulate it: while
+        # grabbed, hide the cursor and warp the pointer back to the
+        # window center after every motion event — each event's offset
+        # from center IS the raw delta, and look continues indefinitely
+        # past the window edge.  The warp itself lands exactly at center
+        # (delta 0), so it self-filters.
+        self._grab_center = None
+
+        def _on_motion(e):
+            if self._grab_center is not None:
+                cx, cy = self._grab_center
+                dx, dy = e.x - cx, e.y - cy
+                if dx or dy:
+                    acc.raw_move(dx, dy)
+                    self._warp(cx, cy)
+            else:
+                acc.mouse_move(e.x, e.y)
+
+        def _on_press(e):
+            acc.button_press(e.num, e.x, e.y)
+            if e.num == 3:
+                self._begin_grab()
+
+        def _on_release(e):
+            acc.button_release(e.num)
+            if e.num == 3:
+                self._end_grab()
+
+        root.bind("<Motion>", _on_motion)
+        root.bind("<ButtonPress>", _on_press)
+        root.bind("<ButtonRelease>", _on_release)
         root.bind("<MouseWheel>", lambda e: acc.wheel(e.delta))
         # Window resize → Events.resize → surface reconfigure (the
         # reference's State::resize, src/lib.rs:1166).  Only report real
@@ -184,6 +225,33 @@ class InteractiveWindow:
             self._tk[1].destroy()
         except Exception:
             pass
+
+    # --- mouse-look pointer grab (reference src/lib.rs:2066-2080) ---
+    def _warp(self, x: int, y: int) -> None:
+        try:
+            self._tk[1].event_generate("<Motion>", warp=True, x=x, y=y)
+        except Exception:
+            pass  # no pointer-warp support (non-X11 tk): plain deltas
+
+    def _begin_grab(self) -> None:
+        root = self._tk[1]
+        cx = max(root.winfo_width() // 2, 1)
+        cy = max(root.winfo_height() // 2, 1)
+        self._grab_center = (cx, cy)
+        try:
+            root.config(cursor="none")
+        except Exception:
+            pass
+        self._warp(cx, cy)
+
+    def _end_grab(self) -> None:
+        self._grab_center = None
+        try:
+            self._tk[1].config(cursor="")
+        except Exception:
+            pass
+        # the warp displaced the pointer; don't count it as a look delta
+        self.acc.reset_pointer()
 
     # --- window control (F11, reference src/lib.rs:1231-1247) ---
     def set_fullscreen(self, fullscreen: bool) -> None:

@@ -31,7 +31,9 @@ import numpy as np
 from kanirenderer_tpu.core.types import (DebugTexture, FrameState, Lights,
                                          RenderConfig, RenderMode, Scene,
                                          default_camera, default_lights)
-from kanirenderer_tpu.passes.frame import render_frame, linearize_depth
+from kanirenderer_tpu.ops.sampling import build_shadow_table
+from kanirenderer_tpu.passes.frame import (render_frame, render_shadow_map,
+                                           linearize_depth)
 from kanirenderer_tpu.runtime import controllers
 from kanirenderer_tpu.runtime.display import make_sink, to_uint8
 from kanirenderer_tpu.runtime.frametime import FrameTimeGraph
@@ -133,16 +135,25 @@ def run_loop(scene: Scene, events: Iterable[Events],
     frames = 0
     last = time.perf_counter()
     picked: list = []
-    # Shadow-map cache: the map only depends on the sun and the geometry,
-    # not the camera — recompute only when those change (the reference
-    # re-renders it every frame; we memoize).  The fresh/cached switch is
-    # a traced lax.cond INSIDE the frame executable (see
-    # passes/frame.render_frame); the host only decides the flag and
-    # round-trips the map once when the sun settles.
-    shadow_cache = None
+    # Shadow cache (steady-state interactive behavior; the reference
+    # re-renders the map every frame, src/lib.rs:1721): the map only
+    # depends on the sun and the geometry, not the camera, so the loop
+    # caches the prebuilt PCF block TABLE (ops/sampling.build_shadow_table)
+    # host-side and feeds it to the frame executable — which then skips
+    # BOTH the shadow raster and the per-frame table rebuild.  Executable
+    # ordering follows the one pattern the tunneled axon runtime executes
+    # reliably (bench.py's steady state, docs/PERFORMANCE.md): the frame
+    # executable (with an external table) always runs first; the
+    # standalone shadow pass runs exactly once per sun move, after the
+    # sun has been stable for two frames.  While the sun is actively
+    # rotating the stale table is reused (refreshed one frame after the
+    # rotation stops); set cache_shadow_map=False for the reference's
+    # fresh-per-frame parity behavior.
+    shadow_table = None
     shadow_key = None
     shadow_prev_key = None
-    shadow_zeros = None
+    shadow_ones = None
+    warned_overflow = 0
 
     for ev in events:
         if ev.quit or (max_frames is not None and frames >= max_frames):
@@ -162,7 +173,8 @@ def run_loop(scene: Scene, events: Iterable[Events],
                     _os.path.dirname(_os.path.abspath(ev.dropped_file)),
                     file_type=file_type)
                 scene = builder.build()
-                shadow_cache = None  # geometry changed
+                shadow_table = None  # geometry changed
+                shadow_key = None
                 if verbose:
                     log.info("added model %s", ev.dropped_file)
             except Exception as e:  # missing/corrupt file: keep rendering
@@ -220,32 +232,57 @@ def run_loop(scene: Scene, events: Iterable[Events],
             object_model=scene.object_model,
             object_normal=scene.object_normal,
             frame_times_ms=jnp.asarray(graph.buffer))
-        needs_shadow = app.config.mode in (RenderMode.LIT_SHADOW,
-                                           RenderMode.DEBUG)
-        if needs_shadow and app.config.cache_shadow_map:
+        # The prebuilt-table path applies to forward LIT_SHADOW (DEBUG's
+        # overlay and the deferred shader consume the raw map in-frame).
+        use_table = (app.config.mode == RenderMode.LIT_SHADOW
+                     and app.config.cache_shadow_map
+                     and not app.config.deferred)
+        if use_table:
             d = app.lights.directional
             key = (app.config.shadow_dim,
                    tuple(np.asarray(d.direction).tolist()),
                    float(d.distance), float(d.shadow_scene_size))
-            cached = key == shadow_key and shadow_cache is not None
-            if shadow_zeros is None or shadow_zeros.shape[0] != \
-                    app.config.shadow_dim:
-                shadow_zeros = jnp.zeros(
-                    (app.config.shadow_dim, app.config.shadow_dim),
-                    jnp.float32)
-            buf = shadow_cache if cached else shadow_zeros
-            out = render_frame(scene, state, app.config, buf,
-                               jnp.bool_(cached))
-            # Cache the freshly-emitted map once the sun has been stable
-            # for two frames (avoids a 16 MB host round-trip per frame
-            # while the sun is actively rotating).
-            if not cached and key == shadow_prev_key:
-                shadow_cache = jax.device_put(np.asarray(out.shadow))
+            if shadow_table is not None and key == shadow_key:
+                tbl = shadow_table              # steady state: zero cost
+            elif frames > 0 and key == shadow_prev_key:
+                # Sun settled (stable for two frames) and the frame
+                # executable has already run at least once: render the map
+                # with the standalone shadow executable exactly once,
+                # round-trip to host, prebuild the PCF table, cache it.
+                sh_np = np.asarray(render_shadow_map(scene, state,
+                                                     app.config))
+                shadow_table = jax.device_put(np.asarray(
+                    build_shadow_table(jnp.asarray(sh_np))))
                 shadow_key = key
+                tbl = shadow_table
+            else:
+                # First frame, or the sun is actively rotating: reuse the
+                # stale table (or an all-lit placeholder) and refresh once
+                # the rotation settles — re-running the shadow executable
+                # every frame mid-rotation is the alternating-executable
+                # pattern the tunneled runtime corrupts on.
+                if shadow_table is not None:
+                    tbl = shadow_table
+                else:
+                    if shadow_ones is None or shadow_ones.shape[0] != \
+                            (app.config.shadow_dim // 8) ** 2:
+                        shadow_ones = jax.device_put(np.asarray(
+                            build_shadow_table(jnp.ones(
+                                (app.config.shadow_dim,) * 2, jnp.float32))))
+                    tbl = shadow_ones
             shadow_prev_key = key
+            out = render_frame(scene, state, app.config, shadow_table=tbl)
         else:
             out = render_frame(scene, state, app.config)
         sink.present(to_uint8(out.image))
+        # Binning capacity overruns must not silently drop geometry
+        # (ops/binning.TileBins.overflow): warn when the count changes.
+        ov = int(np.asarray(out.raster_overflow))
+        if ov > 0 and ov != warned_overflow:
+            log.warn("raster binning dropped %d chunk entries this frame — "
+                     "raise max_chunks_per_tile / max_global_chunks "
+                     "(RenderConfig)", ov)
+            warned_overflow = ov
         frames += 1
 
         # --- frame pacing: the vsync-like present modes cap at 60 Hz ---

@@ -63,8 +63,17 @@ def _splat(c, shape) -> Array:
 
 
 def sample_materials(scene: Scene, pix: PixelBuffer) -> tuple[Array, Array]:
-    """Per-pixel diffuse (linear RGB) and raw normal-map samples, planar —
-    one block-window row gather per texture (see ops/sampling.py)."""
+    """Per-pixel diffuse (linear RGB) and raw normal-map samples, planar.
+
+    All-u8 scenes pack both textures into ONE combined block table —
+    a single row gather serves diffuse AND normal; higher-depth normal
+    maps fall back to one gather per texture (see ops/sampling.py)."""
+    if scene.tex_combined.shape[0] > 0:
+        from kanirenderer_tpu.ops.sampling import sample_materials_combined
+        return sample_materials_combined(scene.tex_combined,
+                                         pix.blk_base, pix.blk_w,
+                                         pix.tex_w, pix.tex_h,
+                                         pix.varyings[24], pix.varyings[25])
     return sample_materials_blocks(scene.tex_diffuse, scene.tex_normal,
                                    pix.blk_base, pix.blk_w, pix.tex_w,
                                    pix.tex_h,

@@ -154,3 +154,29 @@ def test_overflow_diagnostic_counts_dropped_chunks():
                                max_global_chunks=4)
     assert int(bins2.overflow) == 0
     assert int(bins2.tile_counts[0, 0]) == 8
+
+
+def test_overflow_surfaces_through_frame_outputs():
+    """Capacity drops propagate raster->PixelBuffer->FrameOutputs so the
+    host loop can warn (VERDICT r2: silent drops in production)."""
+    from kanirenderer_tpu.passes.frame import render_frame
+
+    scene = sponza_standin_scene(target_tris=6000, num_materials=4,
+                                 tex_size=32)
+    cam = COURTYARD_CAM
+    lights = kani.default_lights()
+    state = kani.frame_state(scene, cam, lights)
+    # Starved capacities force drops.
+    cfg = kani.RenderConfig(width=256, height=192,
+                            mode=kani.RenderMode.UNLIT,
+                            raster_backend="pallas",
+                            max_tiles_per_chunk=4, max_chunks_per_tile=2,
+                            max_global_chunks=2)
+    out = render_frame(scene, state, cfg)
+    assert int(out.raster_overflow) > 0
+    # Ample capacities -> zero.
+    cfg2 = kani.RenderConfig(width=256, height=192,
+                             mode=kani.RenderMode.UNLIT,
+                             raster_backend="pallas")
+    out2 = render_frame(scene, state, cfg2)
+    assert int(out2.raster_overflow) == 0

@@ -52,6 +52,25 @@ def test_mouse_look_and_deltas():
     assert ev.mouse_dx == 0  # deltas drained
 
 
+def test_raw_move_grab_deltas():
+    """Pointer-warp mouse-look (reference raw DeviceEvent::MouseMotion,
+    src/lib.rs:2092-2102): raw deltas accumulate independently of absolute
+    position, and reset_pointer prevents a post-grab warp jump."""
+    acc = EventAccumulator()
+    acc.mouse_move(100, 100)
+    acc.button_press(3, 100, 100)
+    acc.raw_move(7, -3)        # warped deltas while grabbed
+    acc.raw_move(5, 2)
+    ev = acc.poll()
+    assert ev.mouse_look
+    assert ev.mouse_dx == 12 and ev.mouse_dy == -1
+    acc.button_release(3)
+    acc.reset_pointer()        # grab ended; pointer was warped to center
+    acc.mouse_move(320, 240)   # first absolute fix: no delta
+    ev = acc.poll()
+    assert ev.mouse_dx == 0 and ev.mouse_dy == 0
+
+
 def test_click_scroll_resize_quit():
     acc = EventAccumulator()
     acc.button_press(1, 42, 17)     # LMB -> depth pick

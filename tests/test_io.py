@@ -1,6 +1,7 @@
 """IO layer: OBJ/MTL parsing, texture pipeline, scene building."""
 
 import numpy as np
+import jax.numpy as jnp
 
 import kanirenderer_tpu as kani
 from kanirenderer_tpu.io import image, obj
@@ -68,10 +69,15 @@ def test_untextured_material_uses_default_normal_for_both():
     # cube.mtl has no map_Kd/map_Bump → both textures fall back to the
     # default normal map (reference src/resources.rs:105-163).
     scene = load_scene(f"{REF}/cube.obj")
-    # lane 0:3 of block row 0 = texel (0,0) RGB (see ops/sampling.py
-    # block-window layout); tables are stored bf16
-    drows = np.asarray(scene.tex_diffuse).astype(np.float32)
-    nrows = np.asarray(scene.tex_normal).astype(np.float32)
+    # All-u8 scene → the combined diffuse+normal table; lanes 0:6 of
+    # block row 0 = texel (0,0) (dRGB, nRGB) (see ops/sampling.py
+    # combined block-window layout); diffuse is sqrt-encoded u8
+    # (linear = (v/255)²), normals are raw unorm at source depth (u8 here)
+    assert scene.tex_combined.dtype == jnp.uint8
+    assert scene.tex_combined.shape[0] > 0
+    raw = np.asarray(scene.tex_combined).astype(np.float32)
+    drows = (raw[:, 0:3] / 255.0) ** 2
+    nrows = raw[:, 3:6] / 255.0
     # diffuse channels (pre-decoded sRGB of 128,128,255)
     from kanirenderer_tpu.io.scene_loader import _srgb_to_linear_np
     expect = _srgb_to_linear_np(np.array([128, 128, 255], np.float32) / 255)
@@ -111,3 +117,47 @@ def test_smol_cube_parses():
     scene = obj.load_obj(f"{REF}/smol_cube.obj")
     assert len(scene.meshes) >= 1
     assert scene.meshes[0].indices.shape[1] == 3
+
+
+def test_16bit_normal_map_keeps_source_precision(tmp_path):
+    """A 16-bit PNG normal map must survive to the sampler at better than
+    8-bit precision (reference src/texture.rs:113-129 picks Rgba16Unorm
+    for 16-bit sources; VERDICT r2 #8)."""
+    import jax.numpy as jnp
+    from kanirenderer_tpu.ops.sampling import sample_materials_blocks
+
+    # A smooth 16-bit gradient whose values fall BETWEEN 8-bit levels.
+    h = w = 24
+    g = (np.arange(h * w, dtype=np.uint32).reshape(h, w) * 7 + 129)
+    n16 = np.stack([(g % 65536), (g * 3 % 65536),
+                    np.full((h, w), 33000)], axis=-1).astype(np.uint16)
+    p = tmp_path / "n16.png"
+    image.write_png(str(p), n16)
+
+    # OBJ+MTL referencing it as the bump map; a same-size diffuse so the
+    # normal map is not resampled to the 4x4 fallback resolution.
+    d8 = np.full((h, w, 3), 180, np.uint8)
+    image.write_png(str(tmp_path / "d8.png"), d8)
+    (tmp_path / "m.mtl").write_text(
+        "newmtl m\nmap_Kd d8.png\nmap_Bump n16.png\n")
+    (tmp_path / "q.obj").write_text(
+        "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 0 1\nvn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+        "usemtl m\nf 1/1/1 2/2/2 3/3/3\n")
+    scene = load_scene(str(tmp_path / "q.obj"), file_type="default")
+    assert scene.tex_normal.dtype == jnp.uint16
+
+    # Sample texel centers; reconstruction error must beat 8-bit (1/255).
+    uu = jnp.asarray([[(3 + 0.5) / w]], jnp.float32)
+    vv = jnp.asarray([[(5 + 0.5) / h]], jnp.float32)
+    shape = (1, 1)
+    _, normal = sample_materials_blocks(
+        scene.tex_diffuse, scene.tex_normal,
+        jnp.zeros(shape, jnp.int32), scene.mat_blk_w[0] * jnp.ones(shape, jnp.int32),
+        w * jnp.ones(shape, jnp.int32), h * jnp.ones(shape, jnp.int32),
+        uu, vv)
+    got = np.asarray(normal)[:, 0, 0]
+    want = n16[5, 3].astype(np.float64) / 65535.0
+    err = np.abs(got - want).max()
+    assert err < 1e-4, err          # far better than the 8-bit floor
+    assert err < (0.5 / 255.0) / 4  # explicitly beats 8-bit quantization

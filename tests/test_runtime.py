@@ -112,6 +112,43 @@ def test_loop_present_mode_cycle_and_picking():
     assert 0.1 <= linear <= 10050.0
 
 
+def test_loop_shadow_table_cache_steady_state():
+    """The loop's host-managed PCF-table cache (cache_shadow_map=True):
+    frame 0 renders shadow-less (all-lit placeholder table, the safe
+    first-executable ordering), and from frame 1 on — once the sun has
+    been stable for two frames — the loop renders with the real cached
+    table, matching a fresh-shadow render_frame exactly."""
+    from kanirenderer_tpu.passes.frame import render_frame
+
+    captured = []
+
+    class Cap:
+        def present(self, f):
+            captured.append(np.array(f))
+
+        def close(self):
+            pass
+
+    cfg = kani.RenderConfig(width=96, height=64, shadow_dim=64,
+                            mode=kani.RenderMode.LIT_SHADOW)
+    assert cfg.cache_shadow_map  # the default interactive behavior
+    events = [Events(), Events(), Events()]
+    run_loop(SCENE, events, config=cfg, sink=Cap())
+    assert len(captured) == 3
+
+    # reference: a fresh-shadow frame at the same (static) state
+    state = kani.frame_state(SCENE, kani.default_camera(),
+                             kani.default_lights())
+    ref = render_frame(SCENE, state, cfg.with_(cache_shadow_map=False))
+    from kanirenderer_tpu.runtime.display import to_uint8
+    ref8 = np.asarray(to_uint8(ref.image))
+    np.testing.assert_array_equal(captured[1], ref8)
+    np.testing.assert_array_equal(captured[2], ref8)
+    # frame 0 rendered with the all-lit placeholder table (never darker
+    # than the shadowed reference; equal when nothing is occluded)
+    assert (captured[0].astype(int) >= ref8.astype(int) - 1).all()
+
+
 def test_frametime_graph_ring():
     g = FrameTimeGraph()
     for i in range(300):

@@ -43,6 +43,11 @@ NBUF = int(_os.environ.get("KANI_NBUF", "4"))  # chunk DMA pipeline depth
 # be disabled for measurement: KANI_SUBBATCH_SKIP=0 evaluates every
 # subbatch of every listed chunk.
 SUBBATCH_SKIP = _os.environ.get("KANI_SUBBATCH_SKIP", "1") != "0"
+# Measurement-only phase isolation for the fused kernel (docs/PERFORMANCE.md
+# phase-cost breakdown): "full" (default) | "p1" (visibility tournament only)
+# | "p1c" (p1 + winner compaction, no interpolation DMA/loop).  Non-default
+# values produce wrong images — bench instrumentation only.
+FUSED_PHASE = _os.environ.get("KANI_FUSED_PHASE", "full")
 # >128-triangle chunks break the phase-2 128-lane LUT.
 assert CHUNK_SIZE <= 128, \
     f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be at most 128"
@@ -466,6 +471,10 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
     cand = cand_ref[:]
     win_cid = cand // CHUNK_SIZE          # -1 stays -1 (floor division)
 
+    if FUSED_PHASE == "p1":
+        tid_ref[:] = cand                 # keep the winner ids observable
+        return
+
     # Compact the winner CHUNK IDS into SMEM: only a handful of the tile's
     # chunks actually win pixels, so phase 2's DMA pipeline (and every
     # per-chunk sync) runs over the compacted list instead of the full
@@ -493,6 +502,11 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
 
     jax.lax.fori_loop(0, count, compact_body, 0)
     nwin = cnt_smem[0, 0]
+
+    if FUSED_PHASE == "p1c":
+        tid_ref[:] = cand
+        mat_ref[:] = jnp.full_like(mat_ref, 0) + nwin  # observe compaction
+        return
 
     def get_wcid(k):
         return win_smem[k // 128, k % 128]

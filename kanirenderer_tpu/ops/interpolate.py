@@ -9,7 +9,7 @@ ROW regardless of row width, and per-pixel gathers dominate the frame —
 so per-pixel work is exactly ONE wide row gather.  The per-triangle
 record packs everything pixel shading needs that is constant per triangle:
 
-  [v0 varyings (26) | v1 (26) | v2 (26) | mat_id | tex_w | tex_h |
+  [v0 varyings (17) | v1 (17) | v2 (17) | mat_id | tex_w | tex_h |
    blk_base_hi | blk_base_lo | blk_w]
 
 including the material's texture parameters (so the samplers need no
@@ -28,7 +28,7 @@ from kanirenderer_tpu.ops.raster_xla import VisBuffer
 
 Array = jnp.ndarray
 
-USED = 26  # varying channels 26..NV are padding (see ops/vertex.py layout)
+USED = 17  # varying channels 17..NV are padding (see ops/vertex.py layout)
 
 
 class PixelBuffer(NamedTuple):

@@ -54,8 +54,8 @@ assert CHUNK_SIZE <= 128, \
 _BIG = float("inf")
 
 # Chunk-row lane layout for the fused raster+interpolate kernel:
-# [setup 0:16 | bbox 16:20 | v0 varyings 20:46 | v1 46:72 | v2 72:98 |
-#  mat, tex_w, tex_h, blk_hi, blk_lo, blk_w 98:104 | pad]
+# [setup 0:16 | bbox 16:20 | v0 varyings 20:37 | v1 37:54 | v2 54:71 |
+#  mat, tex_w, tex_h, blk_hi, blk_lo, blk_w 71:77 | pad]
 REC0 = NS + 4            # 20
 PAR0 = REC0 + 3 * USED   # 98
 REC_LANES = 3 * USED + 6  # matches interpolate.build_tri_records width

@@ -5,10 +5,19 @@ batched pass over all scene vertices:
 
 * world transform by per-object model/normal matrices;
 * clip position ``view_proj @ world_pos``;
-* the full varying set the fragment stage consumes — tangent-space
-  positions of fragment/view/light, the (transposed) TBN rows, world
-  position, shadow coordinates and UV — packed into a (V, 32) matrix so the
-  shading pass gathers ONE row per corner per pixel.
+* the varying set the fragment stage consumes — tangent-space fragment
+  position, the (transposed) TBN rows, world position and UV — packed
+  into a (V, NV) matrix so the shading pass gathers ONE row per corner
+  per pixel.
+
+The reference vertex shader also emits tangent_view_position,
+tangent_light_position (src/shader.wgsl:106-112) and shadow_coord
+(src/shader.wgsl:113-114).  Those are affine images of quantities that
+are already interpolated — TBN·const_point and lvp·world_position — and
+barycentric interpolation commutes with affine maps exactly, so the
+fragment stage (shade/forward.py) derives them per pixel instead.  That
+keeps 9 lanes out of the per-pixel record path (the raster kernel's
+phase-2 LUT resolution is the hot consumer) with identical results.
 
 All math runs on component planes ((V,)/(T,) vectors) instead of (N, 3)
 rows: small minor dimensions waste most of the VPU's (8, 128) tiles, so
@@ -21,17 +30,14 @@ never needed — external triangles (some w <= 0) rasterize correctly.
 This replaces the hardware clipper+rasterizer fixed function, which has no
 TPU analog.
 
-Varying layout (NV = 32 lanes):
+Varying layout (NV = 24 lanes):
   0:3   tangent_position       (TBN rows · world_pos)
-  3:6   tangent_view_position  (TBN rows · camera_pos)
-  6:9   tangent_light_position (TBN rows · movable_light_pos)
-  9:12  TBN row t (world tangent)
-  12:15 TBN row b (world bitangent)
-  15:18 TBN row n (world normal)
-  18:21 world_position
-  21:24 shadow_coord (u, v, depth)  [reference src/shader.wgsl:113-114]
-  24:26 uv
-  26:32 (padding)
+  3:6   TBN row t (world tangent)
+  6:9   TBN row b (world bitangent)
+  9:12  TBN row n (world normal)
+  12:15 world_position
+  15:17 uv
+  17:24 (padding)
 
 Triangle-setup layout (16 lanes):
   0:3  e0 (a, b, c) edge function   l0(p) = a*x + b*y + c
@@ -53,7 +59,7 @@ from kanirenderer_tpu.core.types import Lights, Scene
 
 Array = jnp.ndarray
 
-NV = 32  # varying lanes per vertex
+NV = 24  # varying lanes per vertex
 NS = 16  # setup lanes per triangle
 
 
@@ -110,23 +116,14 @@ def run_vertex_stage(scene: Scene, object_model: Array, object_normal: Array,
                 nx * vx2 + ny * vy2 + nz * vz2)
 
     tp0, tp1, tp2 = tbn_dot(wx, wy, wz)
-    tv0, tv1, tv2 = tbn_dot(camera_pos[0], camera_pos[1], camera_pos[2])
-    mlp = lights.movable.position
-    tl0, tl1, tl2 = tbn_dot(mlp[0], mlp[1], mlp[2])
-
-    # Shadow coordinates computed at the vertex (reference
-    # src/shader.wgsl:113-114): uv = clip.xy * (0.5, -0.5) + 0.5, raw z.
-    sc0 = lx * 0.5 + 0.5
-    sc1 = ly * -0.5 + 0.5
-    sc2 = lz
 
     uv = scene.uv.T
     zero = jnp.zeros_like(wx)
     varyings = jnp.stack(
-        [tp0, tp1, tp2, tv0, tv1, tv2, tl0, tl1, tl2,
+        [tp0, tp1, tp2,
          tx, ty, tz, bx, by, bz, nx, ny, nz,
-         wx, wy, wz, sc0, sc1, sc2, uv[0], uv[1]]
-        + [zero] * (NV - 26), axis=1)             # (V, NV)
+         wx, wy, wz, uv[0], uv[1]]
+        + [zero] * (NV - 17), axis=1)             # (V, NV)
     clip = jnp.stack([cx, cy, cz, cw], axis=1)
     light_clip = jnp.stack([lx, ly, lz, lw], axis=1)
     return VertexOutputs(clip=clip, varyings=varyings, light_clip=light_clip)

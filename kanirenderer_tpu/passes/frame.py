@@ -231,18 +231,22 @@ def render_band(scene: Scene, state: FrameState,
         # Deferred path: G-buffer write + world-space lighting
         # (shade/deferred.py; the reference's stubbed design realized).
         from kanirenderer_tpu.shade import deferred as deferred_mod
-        gbuf = deferred_mod.write_gbuffer(scene, pix, state.camera.position)
+        gbuf = deferred_mod.write_gbuffer(scene, pix, state.camera.position,
+                                          light_vp)
         srows = build_shadow_table(shadow_map) \
             if mode in (RenderMode.LIT_SHADOW, RenderMode.DEBUG) else None
         color = deferred_mod.deferred_lighting(gbuf, state.lights, srows,
                                                cfg.hdr, cfg.shadow_dim)
     elif mode == RenderMode.LIT:
-        color = forward.shade_lit(scene, pix, state.lights, None, cfg.hdr)
+        color = forward.shade_lit(scene, pix, state.lights, None, cfg.hdr,
+                                  camera_pos=state.camera.position)
     else:  # LIT_SHADOW or DEBUG
         shadow_tbl = shadow_table if shadow_table is not None \
             else build_shadow_table(shadow_map)
         color = forward.shade_lit(scene, pix, state.lights, shadow_tbl,
-                                  cfg.hdr, cfg.shadow_dim)
+                                  cfg.hdr, cfg.shadow_dim,
+                                  camera_pos=state.camera.position,
+                                  light_vp=light_vp)
 
     clear = jnp.asarray(cfg.clear_color, jnp.float32)[:, None, None]
     image = jnp.where(pix.mask[None], color, clear)

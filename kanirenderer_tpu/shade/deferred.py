@@ -65,7 +65,7 @@ class GBuffer(NamedTuple):
 
 
 def write_gbuffer(scene: Scene, pix: PixelBuffer,
-                  camera_pos: Array) -> GBuffer:
+                  camera_pos: Array, light_vp: Array) -> GBuffer:
     """Materialize the G-buffer from interpolated varyings + materials
     (the fragmentWriteGBuffers stage the reference left empty)."""
     vary = pix.varyings
@@ -89,7 +89,7 @@ def write_gbuffer(scene: Scene, pix: PixelBuffer,
         position=world_pos,
         albedo=albedo_q,
         depth=pix.z,
-        shadow_uv=vary[forward.SHADOW_COORD],
+        shadow_uv=jnp.stack(forward.shadow_coords(vary, light_vp)),
         view_dir=view.astype(jnp.bfloat16),
         mask=pix.mask,
     )

@@ -36,19 +36,49 @@ Array = jnp.ndarray
 
 # Varying plane slices (see ops/vertex.py layout)
 TAN_POS = slice(0, 3)
-TAN_VIEW = slice(3, 6)
-TAN_LIGHT = slice(6, 9)
-TBN_T = slice(9, 12)
-TBN_B = slice(12, 15)
-TBN_N = slice(15, 18)
-WORLD_POS = slice(18, 21)
-SHADOW_COORD = slice(21, 24)
-UV = slice(24, 26)
+TBN_T = slice(3, 6)
+TBN_B = slice(6, 9)
+TBN_N = slice(9, 12)
+WORLD_POS = slice(12, 15)
+UV = slice(15, 17)
 
 
 def _dot3(a: Array, b: Array) -> Array:
     """(3, H, W)·(3, H, W) → (H, W)."""
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def tbn_apply(vary: Array, p: Array) -> Array:
+    """Tangent-space image of a constant world point: TBN rows · p.
+
+    The reference computes these per VERTEX (tangent_view_position /
+    tangent_light_position, src/shader.wgsl:106-112) and interpolates;
+    TBN·p is linear in the interpolated TBN rows, so deriving it from
+    the interpolated rows here is exact — and keeps 6 lanes out of the
+    per-pixel record path."""
+    t, b, n = vary[TBN_T], vary[TBN_B], vary[TBN_N]
+    return jnp.stack([
+        t[0] * p[0] + t[1] * p[1] + t[2] * p[2],
+        b[0] * p[0] + b[1] * p[1] + b[2] * p[2],
+        n[0] * p[0] + n[1] * p[1] + n[2] * p[2],
+    ])
+
+
+def shadow_coords(vary: Array, light_vp: Array) -> tuple[Array, Array, Array]:
+    """Light-space (u, v, depth) from the interpolated world position.
+
+    The reference emits shadow_coord per vertex (src/shader.wgsl:113-114:
+    uv = clip.xy·(0.5, −0.5) + 0.5, raw z); the light projection is
+    affine in world position (directional/ortho — no divide), so the
+    per-pixel derivation is exact."""
+    w = vary[WORLD_POS]
+    L = light_vp
+    su = (L[0, 0] * w[0] + L[0, 1] * w[1] + L[0, 2] * w[2]
+          + L[0, 3]) * 0.5 + 0.5
+    sv = (L[1, 0] * w[0] + L[1, 1] * w[1] + L[1, 2] * w[2]
+          + L[1, 3]) * -0.5 + 0.5
+    sz = L[2, 0] * w[0] + L[2, 1] * w[1] + L[2, 2] * w[2] + L[2, 3]
+    return su, sv, sz
 
 
 def _norm3(v: Array) -> Array:
@@ -73,11 +103,11 @@ def sample_materials(scene: Scene, pix: PixelBuffer) -> tuple[Array, Array]:
         return sample_materials_combined(scene.tex_combined,
                                          pix.blk_base, pix.blk_w,
                                          pix.tex_w, pix.tex_h,
-                                         pix.varyings[24], pix.varyings[25])
+                                         pix.varyings[15], pix.varyings[16])
     return sample_materials_blocks(scene.tex_diffuse, scene.tex_normal,
                                    pix.blk_base, pix.blk_w, pix.tex_w,
                                    pix.tex_h,
-                                   pix.varyings[24], pix.varyings[25])
+                                   pix.varyings[15], pix.varyings[16])
 
 
 def shade_unlit(scene: Scene, pix: PixelBuffer) -> Array:
@@ -116,13 +146,17 @@ def _attenuation(dist: Array, rng: Array) -> Array:
 
 def shade_lit(scene: Scene, pix: PixelBuffer, lights: Lights,
               shadow_table: Array | None, hdr: bool,
-              shadow_dim: int = 0) -> Array:
+              shadow_dim: int = 0, *, camera_pos: Array,
+              light_vp: Array | None = None) -> Array:
     """Blinn-Phong forward shading, optionally shadow-modulated.
 
     shadow_table None → the Lit pipeline (reference src/lit_shader.wgsl);
     otherwise LitWithShadow (src/shader.wgsl with Reinhard, or
     src/shader_hdr.wgsl with ACES when hdr=True); shadow_table is the
-    block-window table from ops/sampling.build_shadow_table.
+    block-window table from ops/sampling.build_shadow_table, and
+    ``light_vp`` the directional light's view-projection (required with
+    a shadow_table — shadow coords derive from world position here; see
+    ``shadow_coords``).
     """
     object_color, object_normal = sample_materials(scene, pix)
     vary = pix.varyings
@@ -132,14 +166,14 @@ def shade_lit(scene: Scene, pix: PixelBuffer, lights: Lights,
     tangent_normal = _norm3(tangent_normal_raw)
 
     tan_pos = vary[TAN_POS]
-    view_dir = _norm3(vary[TAN_VIEW] - tan_pos)
+    view_dir = _norm3(tbn_apply(vary, camera_pos) - tan_pos)
 
     # --- movable point light (uniform `light`) ---
     world_pos = vary[WORLD_POS]
     m = lights.movable
     dvec = m.position[:, None, None] - world_pos
     dist = jnp.sqrt(jnp.maximum(_dot3(dvec, dvec), 1e-30))
-    light_dir = _norm3(vary[TAN_LIGHT] - tan_pos)
+    light_dir = _norm3(tbn_apply(vary, m.position) - tan_pos)
     mcol = m.color[:, None, None]
     diff, spec = _blinn_phong(tangent_normal, light_dir, view_dir, mcol)
     movable_term = (diff + spec) * _attenuation(dist, m.range)[None] \
@@ -156,8 +190,8 @@ def shade_lit(scene: Scene, pix: PixelBuffer, lights: Lights,
     dl_diff, dl_spec = _blinn_phong(tangent_normal, dl_dir, view_dir, dcol)
     dl_term = dl_diff * 10.0 + dl_spec * (10.0 * 0.5)
     if shadow_table is not None:
-        shadow = sample_shadow_pcf(shadow_table, shadow_dim,
-                                   vary[21], vary[22], vary[23])
+        su, sv, sz = shadow_coords(vary, light_vp)
+        shadow = sample_shadow_pcf(shadow_table, shadow_dim, su, sv, sz)
         dl_term = dl_term * shadow[None]
     dl_term = dl_term * object_color
 

@@ -45,16 +45,34 @@ def _flat_material_scene(diffuse=(0.5, 0.5, 0.5),
         mat_tex_size=jnp.ones((1, 2), jnp.int32))
 
 
-def _fragment(shadow_uv=(0.5, 0.5, 0.5)) -> PixelBuffer:
-    """A fragment with identity TBN, view/light straight down +Z."""
+CAMERA_POS = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)  # view from +Z
+
+# With identity TBN and the fragment at the origin, the derived
+# tangent-space view/light positions equal the world positions, so a
+# movable light at (0, 0, 2) gives light_dir (0, 0, 1) and dist 2.
+LIGHTS = kani.default_lights()
+LIGHTS = LIGHTS._replace(movable=LIGHTS.movable._replace(
+    position=jnp.asarray([0.0, 0.0, 2.0], jnp.float32)))
+
+
+def _shadow_lvp(shadow_uv=(0.5, 0.5, 0.5)) -> jnp.ndarray:
+    """A light view-projection whose derived shadow coord at the origin
+    (forward.shadow_coords: uv = clip.xy·(0.5, −0.5) + 0.5, raw z) is
+    exactly ``shadow_uv``."""
+    lvp = np.zeros((4, 4), np.float32)
+    lvp[0, 3] = (shadow_uv[0] - 0.5) / 0.5
+    lvp[1, 3] = (shadow_uv[1] - 0.5) / -0.5
+    lvp[2, 3] = shadow_uv[2]
+    return jnp.asarray(lvp)
+
+
+def _fragment() -> PixelBuffer:
+    """A fragment at the origin with identity TBN."""
     v = np.zeros((USED, H, W), np.float32)
-    v[3:6] = np.array([0.0, 0.0, 1.0])[:, None, None]   # tan view pos
-    v[6:9] = np.array([0.0, 0.0, 2.0])[:, None, None]   # tan movable light
-    v[9:12] = np.array([1.0, 0.0, 0.0])[:, None, None]  # TBN rows: identity
-    v[12:15] = np.array([0.0, 1.0, 0.0])[:, None, None]
-    v[15:18] = np.array([0.0, 0.0, 1.0])[:, None, None]
-    v[21:24] = np.asarray(shadow_uv, np.float32)[:, None, None]
-    v[24:26] = 0.5                                       # UV → texel (0,0)
+    v[3:6] = np.array([1.0, 0.0, 0.0])[:, None, None]   # TBN rows: identity
+    v[6:9] = np.array([0.0, 1.0, 0.0])[:, None, None]
+    v[9:12] = np.array([0.0, 0.0, 1.0])[:, None, None]
+    v[15:17] = 0.5                                       # UV → texel (0,0)
     plane_i = jnp.zeros((H, W), jnp.int32)
     return PixelBuffer(
         varyings=jnp.asarray(v), mat_id=plane_i,
@@ -70,11 +88,12 @@ def _expected_lit(shadow_factor: float) -> np.ndarray:
     n = np.array([0.0, 0.0, 1.0])
     view_dir = np.array([0.0, 0.0, 1.0])
 
-    # movable point light (lib.rs:433-446): pos (0,100,0), color 20, r 256
-    dist = 100.0
+    # movable point light (lib.rs:433-446 color/range; position moved to
+    # (0, 0, 2) so direction and distance are both axis-friendly)
+    dist = 2.0
     att = 1.0 / (1.0 + 0.09 * dist + 0.032 * dist * dist) \
         * np.clip(1.0 - (dist / 256.0) ** 4, 0.0, 1.0)
-    light_dir = np.array([0.0, 0.0, 1.0])   # tangent-space uniform pos
+    light_dir = np.array([0.0, 0.0, 1.0])
     half = (view_dir + light_dir) / np.linalg.norm(view_dir + light_dir)
     diff = max(n @ light_dir, 0.0) * 20.0
     spec = max(n @ half, 0.0) ** 32 * 20.0
@@ -96,9 +115,8 @@ def _expected_lit(shadow_factor: float) -> np.ndarray:
 
 def test_shade_lit_hand_computed():
     scene = _flat_material_scene()
-    got = np.asarray(forward.shade_lit(scene, _fragment(),
-                                       kani.default_lights(), None,
-                                       hdr=False))
+    got = np.asarray(forward.shade_lit(scene, _fragment(), LIGHTS, None,
+                                       hdr=False, camera_pos=CAMERA_POS))
     expected = _expected_lit(shadow_factor=1.0)
     np.testing.assert_allclose(got[:, 2, 2], expected, atol=2e-6)
 
@@ -112,9 +130,9 @@ def test_shade_lit_shadow_hand_computed():
     sm[:, D // 2:] = 1.0
     tbl = build_shadow_table(jnp.asarray(sm))
     scene = _flat_material_scene()
-    pix = _fragment(shadow_uv=(0.5, 0.5, 0.5))
-    got = np.asarray(forward.shade_lit(scene, pix, kani.default_lights(),
-                                       tbl, hdr=False, shadow_dim=D))
+    got = np.asarray(forward.shade_lit(
+        scene, _fragment(), LIGHTS, tbl, hdr=False, shadow_dim=D,
+        camera_pos=CAMERA_POS, light_vp=_shadow_lvp((0.5, 0.5, 0.5))))
     expected = _expected_lit(shadow_factor=0.5)
     np.testing.assert_allclose(got[:, 2, 2], expected, atol=2e-6)
 
@@ -140,9 +158,8 @@ def test_ambient_only_when_unlit_directions():
     """Back-facing fragment (normal −Z): every max(dot,0) clamps to 0 —
     only ambient survives (src/shader.wgsl:179-181)."""
     scene = _flat_material_scene(normal=(0.5, 0.5, 0.0))  # raw n = (0,0,-1)
-    got = np.asarray(forward.shade_lit(scene, _fragment(),
-                                       kani.default_lights(), None,
-                                       hdr=False))
+    got = np.asarray(forward.shade_lit(scene, _fragment(), LIGHTS, None,
+                                       hdr=False, camera_pos=CAMERA_POS))
     c = 20.0 * 0.0005 * 0.5
     np.testing.assert_allclose(got[:, 1, 1], np.full(3, c / (c + 1)),
                                atol=2e-6)

@@ -75,7 +75,7 @@ def test_gbuffer_debug_views():
     pix = interpolate(vis, SCENE.tri_idx, SCENE.tri_mat, vout.varyings,
                       SCENE.mat_blk_base, SCENE.mat_blk_w,
                       SCENE.mat_tex_size)
-    gbuf = write_gbuffer(SCENE, pix, CAM.position)
+    gbuf = write_gbuffer(SCENE, pix, CAM.position, lvp)
     for which in ("normal", "albedo", "position", "depth"):
         img = np.asarray(gbuffer_debug_view(gbuf, which), np.float32)
         assert img.shape[0] == 3 and np.isfinite(img).all()

@@ -250,23 +250,32 @@ def render_band(scene: Scene, state: FrameState,
 
     clear = jnp.asarray(cfg.clear_color, jnp.float32)[:, None, None]
     image = jnp.where(pix.mask[None], color, clear)
-    image = jnp.transpose(image, (1, 2, 0))  # → (H, W, 3) for output
 
-    # --- debug overlays (src/lib.rs:1865-1914) ---
+    # --- surface encoding + overlays.  sRGB store for the LDR
+    # Rgba8UnormSrgb surface, raw linear for the HDR Rgba16Float surface
+    # (src/lib.rs:321-329).  Encode while still channel-PLANAR: on the
+    # (H, W, 3) layout the 3-wide minor dim leaves 125/128 VPU lanes
+    # idle, making the encode ~5 ms instead of sub-ms (elementwise, so
+    # it commutes with the transpose exactly).  DEBUG keeps the
+    # overlays-then-encode order — overlay colors are linear values that
+    # the surface encodes, like the reference's overlay pipelines
+    # (src/lib.rs:1865-1914) — and eats the slow channel-last encode;
+    # it is not a performance mode.
+    def encode(img):
+        return jnp.clip(img, 0.0, 1.0) if cfg.hdr else linear_to_srgb(img)
+
     if mode == RenderMode.DEBUG and not banded:
+        image = jnp.transpose(image, (1, 2, 0))  # → (H, W, 3)
         if cfg.debug_texture == DebugTexture.SHADOW_MAP:
             dbg_tex = shadow_map
         else:
             dbg_tex = pix.z
-        image = overlay.debug_texture_quad(image, dbg_tex, cfg.znear, cfg.zfar)
+        image = overlay.debug_texture_quad(image, dbg_tex, cfg.znear,
+                                           cfg.zfar)
         image = overlay.frame_time_graph(image, state.frame_times_ms)
-
-    # --- surface encoding: sRGB store for the LDR Rgba8UnormSrgb surface,
-    # raw linear for the HDR Rgba16Float surface (src/lib.rs:321-329) ---
-    if cfg.hdr:
-        image = jnp.clip(image, 0.0, 1.0)
+        image = encode(image)
     else:
-        image = linear_to_srgb(image)
+        image = jnp.transpose(encode(image), (1, 2, 0))
     if external_shadow or shadow_emit is None:
         # Never pass an input buffer through to an output: input-output
         # aliased executables corrupt runtime state on re-execution with

@@ -29,9 +29,10 @@ mode, none otherwise.  The renderer is embarrassingly data-parallel over
 pixels, so the mesh buys nearly linear scaling until the per-chip band
 becomes overhead-bound.
 
-Limitation: the DEBUG mode's overlay composites (depth quad, frame-time
-graph) anchor to absolute screen corners with static slices and are
-skipped under banding; DEBUG shading itself renders.
+DEBUG mode composites band-aware (passes/overlay.py ``*_band`` variants
+mask in global screen coordinates instead of static slices); the
+scene-depth quad adds one DEBUG-only ``all_gather`` of the per-band depth
+so every chip can sample the full depth image.
 """
 
 from __future__ import annotations
@@ -74,7 +75,7 @@ def _render_sharded(scene: Scene, state: FrameState, config: RenderConfig,
     def band(scene, state, shadow_map):
         y0 = (jax.lax.axis_index(axis) * band_h).astype(jnp.float32)
         out = render_band(scene, state, config, shadow_map=shadow_map,
-                          band_h=band_h, y0=y0)
+                          band_h=band_h, y0=y0, band_axis=axis)
         return out.image, out.depth
 
     specs_in = (P(), P(), P())
@@ -117,7 +118,8 @@ def _render_sharded_fresh(scene: Scene, state: FrameState,
         y0 = (jax.lax.axis_index(axis) * band_h).astype(jnp.float32)
         out = render_band(scene, state, config, band_h=band_h, y0=y0,
                           shadow_axis=axis,
-                          shadow_bands=mesh.devices.size)
+                          shadow_bands=mesh.devices.size,
+                          band_axis=axis)
         return out.image, out.depth
 
     fn = shard_map(band, mesh=mesh, in_specs=(P(), P()),

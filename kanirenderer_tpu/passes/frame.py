@@ -37,7 +37,8 @@ Array = jnp.ndarray
 
 
 class FrameOutputs(NamedTuple):
-    image: Array   # (H, W, 3) f32 display-encoded (sRGB for LDR, linear HDR)
+    image: Array   # (H, W, 3) display-encoded (sRGB LDR / linear HDR);
+    #   f32, or uint8 when RenderConfig.output_u8 (the real surface format)
     depth: Array   # (H, W) f32 scene depth (for picking / debug)
     shadow: Array  # (shadow_dim, shadow_dim) f32 (all-ones when pass skipped)
     raster_overflow: Array = jnp.zeros((), jnp.int32)  # () i32 — chunks
@@ -119,7 +120,8 @@ def render_band(scene: Scene, state: FrameState,
                 *, shadow_table: Array | None = None,
                 band_h: int | None = None, y0=None,
                 shadow_axis: str | None = None,
-                shadow_bands: int = 1) -> FrameOutputs:
+                shadow_bands: int = 1,
+                band_axis: str | None = None) -> FrameOutputs:
     """The frame pipeline body, optionally restricted to a row band.
 
     This is the ONE implementation of the per-frame pass sequence; both
@@ -130,9 +132,11 @@ def render_band(scene: Scene, state: FrameState,
     (src/lib.rs:1754-1862).
 
     ``band_h`` (static) / ``y0`` (traced, from ``lax.axis_index``) select
-    screen rows [y0, y0+band_h).  Banded rendering skips the DEBUG-mode
-    overlay composites (they anchor to absolute screen corners with
-    static slices); DEBUG shading itself still works.
+    screen rows [y0, y0+band_h).  DEBUG-mode overlays composite
+    band-aware (overlay.*_band, global-coordinate masks); the scene-depth
+    quad needs the FULL depth image, gathered over ``band_axis`` when
+    given (one DEBUG-only collective) — with ``band_h`` but no
+    ``band_axis`` the quad shows the band's own depth rows.
 
     ``shadow_axis``/``shadow_bands``: under shard_map, also shard the
     FRESH shadow raster — each chip rasters shadow_dim/shadow_bands map
@@ -264,18 +268,37 @@ def render_band(scene: Scene, state: FrameState,
     def encode(img):
         return jnp.clip(img, 0.0, 1.0) if cfg.hdr else linear_to_srgb(img)
 
-    if mode == RenderMode.DEBUG and not banded:
+    def quantize(img):
+        # On-device Rgba8 store (== runtime/display.to_uint8 exactly).
+        if not cfg.output_u8:
+            return img
+        return jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+    if mode == RenderMode.DEBUG:
         image = jnp.transpose(image, (1, 2, 0))  # → (H, W, 3)
         if cfg.debug_texture == DebugTexture.SHADOW_MAP:
             dbg_tex = shadow_map
+        elif banded and band_axis is not None:
+            # The quad visualizes the FULL scene depth; each band only
+            # rasterized its rows, so assemble it once over the mesh
+            # (DEBUG-only collective — not on any perf path).
+            dbg_tex = jax.lax.all_gather(pix.z, band_axis, axis=0,
+                                         tiled=True)
         else:
             dbg_tex = pix.z
-        image = overlay.debug_texture_quad(image, dbg_tex, cfg.znear,
-                                           cfg.zfar)
-        image = overlay.frame_time_graph(image, state.frame_times_ms)
-        image = encode(image)
+        if banded:
+            row0 = jnp.float32(0.0) if y0 is None else y0
+            image = overlay.debug_texture_quad_band(
+                image, row0, cfg.height, dbg_tex, cfg.znear, cfg.zfar)
+            image = overlay.frame_time_graph_band(
+                image, row0, cfg.height, state.frame_times_ms)
+        else:
+            image = overlay.debug_texture_quad(image, dbg_tex, cfg.znear,
+                                               cfg.zfar)
+            image = overlay.frame_time_graph(image, state.frame_times_ms)
+        image = quantize(encode(image))
     else:
-        image = jnp.transpose(encode(image), (1, 2, 0))
+        image = jnp.transpose(quantize(encode(image)), (1, 2, 0))
     if external_shadow or shadow_emit is None:
         # Never pass an input buffer through to an output: input-output
         # aliased executables corrupt runtime state on re-execution with

@@ -20,8 +20,14 @@ import numpy as np
 from kanirenderer_tpu.io.image import write_png
 
 
-def to_uint8(image_f32) -> np.ndarray:
-    img = np.asarray(image_f32)
+def to_uint8(image) -> np.ndarray:
+    """Display-encoded frame → (H, W, 3) uint8 host array.
+
+    With ``RenderConfig.output_u8`` the quantization already happened
+    on-device and this is just the host fetch."""
+    img = np.asarray(image)
+    if img.dtype == np.uint8:
+        return img
     return np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 

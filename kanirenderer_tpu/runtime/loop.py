@@ -20,6 +20,7 @@ mirroring the reference's prebuilt-pipeline switch.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import time
 from typing import Iterable, NamedTuple
@@ -124,6 +125,11 @@ def run_loop(scene: Scene, events: Iterable[Events],
     is also the event source); overrides ``sink_kind``.
     """
     cfg = config or RenderConfig()
+    # Present LDR frames in the real surface format: quantize to uint8
+    # on-device (Rgba8UnormSrgb, src/lib.rs:321-329) so the per-frame
+    # device→host transfer is 4x smaller and needs no host convert.
+    if not cfg.hdr:
+        cfg = cfg.with_(output_u8=True)
     lights = default_lights()
     if point_lights > 1:
         from kanirenderer_tpu.core.types import spawn_point_lights
@@ -154,6 +160,25 @@ def run_loop(scene: Scene, events: Iterable[Events],
     shadow_prev_key = None
     shadow_ones = None
     warned_overflow = 0
+    # Controllers are a handful of scalar ops; running their jitted step
+    # on an accelerator turns each into a host↔device round trip (~2-30 ms
+    # of pure dispatch latency per frame on remote runtimes).  The
+    # reference's State::update is host code (src/lib.rs:1382-1705), so
+    # run them on the CPU backend and hand the (tiny, uncommitted) numpy
+    # results to the frame executable.
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu_dev = None
+
+    def _host(tree):
+        return jax.tree.map(np.asarray, tree)
+
+    # Swapchain-style double buffering: the frame dispatched on iteration
+    # N is presented on iteration N+1 (one frame of latency, like any
+    # real swapchain), so the device→host frame transfer of frame N
+    # overlaps frame N+1's on-device compute.
+    pending = None
 
     for ev in events:
         if ev.quit or (max_frames is not None and frames >= max_frames):
@@ -206,24 +231,28 @@ def run_loop(scene: Scene, events: Iterable[Events],
                 sink.set_fullscreen(app.fullscreen)
         if "1" in p:
             app.toggle_debug_texture()
-        d = app.lights.directional
-        if "2" in p:
-            d = controllers.step_directional_distance(d, -10.0)
-        if "3" in p:
-            d = controllers.step_directional_distance(d, +10.0)
-        if "r" in ev.held:
-            d = controllers.rotate_directional_light(d, 4.0, 0.0, 0.0)
-        if "t" in ev.held:
-            d = controllers.rotate_directional_light(d, 0.0, 4.0, 0.0)
-        if "y" in ev.held:
-            d = controllers.rotate_directional_light(d, 0.0, 0.0, 4.0)
+        dev_ctx = jax.default_device(cpu_dev) if cpu_dev is not None \
+            else contextlib.nullcontext()
+        with dev_ctx:
+            d = app.lights.directional
+            if "2" in p:
+                d = controllers.step_directional_distance(d, -10.0)
+            if "3" in p:
+                d = controllers.step_directional_distance(d, +10.0)
+            if "r" in ev.held:
+                d = controllers.rotate_directional_light(d, 4.0, 0.0, 0.0)
+            if "t" in ev.held:
+                d = controllers.rotate_directional_light(d, 0.0, 4.0, 0.0)
+            if "y" in ev.held:
+                d = controllers.rotate_directional_light(d, 0.0, 0.0, 4.0)
 
-        # --- controller integration (State::update) ---
-        app.camera = controllers.update_camera(app.camera,
-                                               _camera_inputs(ev), dt)
-        movable = controllers.update_movable_light(
-            app.lights.movable, _light_inputs(ev), dt)
-        app.lights = app.lights._replace(movable=movable, directional=d)
+            # --- controller integration (State::update) ---
+            app.camera = _host(controllers.update_camera(
+                app.camera, _camera_inputs(ev), dt))
+            movable = _host(controllers.update_movable_light(
+                app.lights.movable, _light_inputs(ev), dt))
+            app.lights = app.lights._replace(movable=movable,
+                                             directional=_host(d))
 
         # --- render ---
         graph.update(dt)
@@ -274,15 +303,22 @@ def run_loop(scene: Scene, events: Iterable[Events],
             out = render_frame(scene, state, app.config, shadow_table=tbl)
         else:
             out = render_frame(scene, state, app.config)
-        sink.present(to_uint8(out.image))
-        # Binning capacity overruns must not silently drop geometry
-        # (ops/binning.TileBins.overflow): warn when the count changes.
-        ov = int(np.asarray(out.raster_overflow))
-        if ov > 0 and ov != warned_overflow:
-            log.warn("raster binning dropped %d chunk entries this frame — "
-                     "raise max_chunks_per_tile / max_global_chunks "
-                     "(RenderConfig)", ov)
-            warned_overflow = ov
+        # Present the PREVIOUS frame (double buffering, see above): its
+        # transfer overlaps the dispatch we just issued.
+        if pending is not None:
+            sink.present(to_uint8(pending.image))
+            # Binning capacity overruns must not silently drop geometry
+            # (ops/binning.TileBins.overflow): warn when the count changes.
+            # Checked every 8th frame — each scalar fetch is a full
+            # host↔device round trip, and capacity is config-static.
+            if frames % 8 == 1:
+                ov = int(np.asarray(pending.raster_overflow))
+                if ov > 0 and ov != warned_overflow:
+                    log.warn("raster binning dropped %d chunk entries this "
+                             "frame — raise max_chunks_per_tile / "
+                             "max_global_chunks (RenderConfig)", ov)
+                    warned_overflow = ov
+        pending = out
         frames += 1
 
         # --- frame pacing: the vsync-like present modes cap at 60 Hz ---
@@ -307,6 +343,13 @@ def run_loop(scene: Scene, events: Iterable[Events],
             print(f"frame {frames}: {graph.mean_ms:.2f} ms "
                   f"({graph.fps:.1f} FPS) mode={app.config.mode.name}")
 
+    if pending is not None:  # flush the last double-buffered frame
+        sink.present(to_uint8(pending.image))
+        ov = int(np.asarray(pending.raster_overflow))
+        if ov > 0 and ov != warned_overflow:
+            log.warn("raster binning dropped %d chunk entries — raise "
+                     "max_chunks_per_tile / max_global_chunks "
+                     "(RenderConfig)", ov)
     sink.close()
     return {
         "frames": frames,

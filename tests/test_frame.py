@@ -191,3 +191,15 @@ def test_spawned_point_lights_light_the_scene():
             SCENE, OUTSIDE_CAM, lights._replace(points=pts)), cfg)
     assert float(np.abs(np.asarray(lit.image)
                         - np.asarray(base.image)).max()) > 0.01
+
+
+def test_output_u8_matches_host_quantization():
+    """RenderConfig.output_u8 emits the real Rgba8 surface: the on-device
+    quantization must equal runtime/display.to_uint8 of the f32 image."""
+    from kanirenderer_tpu.runtime.display import to_uint8
+    for mode in (kani.RenderMode.LIT, kani.RenderMode.DEBUG):
+        f32 = render(mode)
+        u8 = render(mode, output_u8=True)
+        assert np.asarray(u8.image).dtype == np.uint8
+        np.testing.assert_array_equal(np.asarray(u8.image),
+                                      to_uint8(f32.image))

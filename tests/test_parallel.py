@@ -83,3 +83,15 @@ def test_sharded_unlit_and_wireframe():
     for mode in (kani.RenderMode.UNLIT, kani.RenderMode.WIREFRAME):
         scene, state, cfg = _setup(mode=mode)
         _assert_sharded_matches(scene, state, cfg)
+
+
+def test_sharded_matches_debug_overlays():
+    """DEBUG overlays composite band-aware (overlay.*_band): the sharded
+    image — including the depth quad (full-depth all_gather) and the
+    frame-time graph — must match the single-chip composite."""
+    for tex in (kani.DebugTexture.SCENE_DEPTH, kani.DebugTexture.SHADOW_MAP):
+        scene, state, cfg = _setup(mode=kani.RenderMode.DEBUG,
+                                   debug_texture=tex)
+        times = jnp.linspace(2.0, 9.0, 256, dtype=jnp.float32)
+        state = state._replace(frame_times_ms=times)
+        _assert_sharded_matches(scene, state, cfg)

@@ -237,12 +237,13 @@ class RenderConfig:
     # G-buffer write + world-space deferred lighting instead of the
     # forward tangent-space path.  Applies to LIT/LIT_SHADOW/DEBUG modes.
     deferred: bool = False
-    # Emit the frame as (H, W, 3) uint8 instead of f32 — the actual LDR
-    # surface format (Rgba8UnormSrgb, src/lib.rs:321-329).  Quantization
-    # happens on-device (identical to runtime/display.to_uint8), so the
-    # host fetch moves 4x less data and skips the host-side convert; the
-    # interactive loop enables this for LDR configs.  f32 default keeps
-    # analysis/tests on the full-precision encoded image.
+    # Emit the frame in its real surface format instead of f32: uint8
+    # for LDR (Rgba8UnormSrgb) / float16 for HDR (Rgba16Float) — the
+    # reference's surface selection (src/lib.rs:321-329).  Quantization
+    # happens on-device (LDR path identical to runtime/display.to_uint8),
+    # so the host present fetch moves 4x/2x less data and skips the
+    # host-side convert; the interactive loop enables this.  f32 default
+    # keeps analysis/tests on the full-precision encoded image.
     output_u8: bool = False
     wire_thresh_px: float = 0.7     # wireframe edge half-width in pixels
     # Pallas raster kernel: triangles evaluated per inner step

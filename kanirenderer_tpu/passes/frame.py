@@ -269,9 +269,12 @@ def render_band(scene: Scene, state: FrameState,
         return jnp.clip(img, 0.0, 1.0) if cfg.hdr else linear_to_srgb(img)
 
     def quantize(img):
-        # On-device Rgba8 store (== runtime/display.to_uint8 exactly).
+        # On-device surface store: Rgba8 for LDR (== runtime/display.
+        # to_uint8 exactly), Rgba16Float for HDR (src/lib.rs:321-329).
         if not cfg.output_u8:
             return img
+        if cfg.hdr:
+            return img.astype(jnp.float16)
         return jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
     if mode == RenderMode.DEBUG:

@@ -23,11 +23,14 @@ from kanirenderer_tpu.io.image import write_png
 def to_uint8(image) -> np.ndarray:
     """Display-encoded frame → (H, W, 3) uint8 host array.
 
-    With ``RenderConfig.output_u8`` the quantization already happened
-    on-device and this is just the host fetch."""
+    With ``RenderConfig.output_u8`` the LDR quantization already happened
+    on-device and this is just the host fetch; HDR surfaces arrive as
+    f16/f32 linear values and quantize here (a real HDR swapchain would
+    hand them to the display pipeline instead)."""
     img = np.asarray(image)
     if img.dtype == np.uint8:
         return img
+    img = img.astype(np.float32)
     return np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 

@@ -125,11 +125,11 @@ def run_loop(scene: Scene, events: Iterable[Events],
     is also the event source); overrides ``sink_kind``.
     """
     cfg = config or RenderConfig()
-    # Present LDR frames in the real surface format: quantize to uint8
-    # on-device (Rgba8UnormSrgb, src/lib.rs:321-329) so the per-frame
-    # device→host transfer is 4x smaller and needs no host convert.
-    if not cfg.hdr:
-        cfg = cfg.with_(output_u8=True)
+    # Present frames in the real surface format — uint8 for LDR
+    # (Rgba8UnormSrgb), float16 for HDR (Rgba16Float; src/lib.rs:321-329)
+    # — so the per-frame device→host transfer shrinks 4x/2x and LDR
+    # needs no host convert.
+    cfg = cfg.with_(output_u8=True)
     lights = default_lights()
     if point_lights > 1:
         from kanirenderer_tpu.core.types import spawn_point_lights

@@ -203,3 +203,12 @@ def test_output_u8_matches_host_quantization():
         assert np.asarray(u8.image).dtype == np.uint8
         np.testing.assert_array_equal(np.asarray(u8.image),
                                       to_uint8(f32.image))
+
+
+def test_output_u8_hdr_is_float16():
+    """HDR + output_u8 emits the Rgba16Float surface (f16 linear)."""
+    f32 = render(kani.RenderMode.LIT, hdr=True)
+    f16 = render(kani.RenderMode.LIT, hdr=True, output_u8=True)
+    assert np.asarray(f16.image).dtype == np.float16
+    np.testing.assert_allclose(np.asarray(f16.image, np.float32),
+                               np.asarray(f32.image), atol=5e-4)

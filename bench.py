@@ -62,7 +62,7 @@ def main() -> None:
     cfg = kani.RenderConfig(
         width=1920, height=1080, mode=kani.RenderMode.LIT_SHADOW,
         raster_backend="pallas" if on_tpu else "xla",
-        tile_h=32, max_tiles_per_chunk=128, max_chunks_per_tile=512,
+        tile_h=64, max_tiles_per_chunk=128, max_chunks_per_tile=512,
         max_global_chunks=256,
         # The executable the interactive loop ships: LDR surface emitted
         # as uint8 on-device (runtime/loop.py forces the same).

@@ -88,6 +88,14 @@ def run(file_path: str = "", file_type: str = "opengl",
         raster_backend = "pallas" if on_tpu else "xla"
     cfg = RenderConfig(width=width, height=height, mode=mode, hdr=use_hdr,
                        raster_backend=raster_backend)
+    if raster_backend == "pallas":
+        # TPU-tuned raster parameters (the swept optimum bench.py
+        # measures with — docs/PERFORMANCE.md; RenderConfig defaults
+        # stay sized for small CPU-test frames).  KANI_TILE_H overrides.
+        cfg = cfg.with_(
+            tile_h=int(os.environ.get("KANI_TILE_H", 64)),
+            max_tiles_per_chunk=128, max_chunks_per_tile=512,
+            max_global_chunks=256)
     # Interactive path: a live window is both sink and event source —
     # flying the camera with WASD/mouse works like the reference's winit
     # loop (src/lib.rs:2091-2140).  Headless hosts fall back to scripted

@@ -23,6 +23,7 @@ design that keeps 1080p × 262K-triangle frames inside the 16 ms budget.
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import NamedTuple
 
@@ -35,6 +36,9 @@ from kanirenderer_tpu.core.types import (CHUNK_SIZE, RUN_CHUNKS, SUBBATCH,
 Array = jnp.ndarray
 
 _SENTINEL = jnp.int32(2**31 - 1)
+# Drop packed-list entries with empty subbatch masks (exact; saves the
+# kernel a DMA+sync per dropped entry).  0 disables for measurement.
+_MASK_PRUNE = _os.environ.get("KANI_MASK_PRUNE", "1") != "0"
 
 
 class TileBins(NamedTuple):
@@ -224,11 +228,29 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     masks = jnp.where(in_local, local_msk,
                       jnp.where(in_glob, gmask_l, 0))
 
+    # Drop entries whose subbatch mask is empty: no subbatch bbox of the
+    # chunk overlaps the tile ⇒ no triangle can cover a tile pixel, so
+    # the entry is exactly removable — and every removed entry saves the
+    # kernel a run DMA + scalar-core sync.  This prunes (a) global
+    # chunks on the many tiles they don't actually touch (they are
+    # appended to EVERY tile's list) and (b) local chunks whose tight
+    # subbatch boxes miss the tile even though the chunk bbox overlaps.
+    # _pack_runs' row-wise sort compacts the surviving entries.
+    # (Applied to the PACKED kernel lists only; tile_lists/tile_counts
+    # keep the bbox-overlap semantics their consumers/tests expect.
+    # KANI_MASK_PRUNE=0 disables for A/B measurement.)
+    if _MASK_PRUNE:
+        keep = masks != 0
+        plists = jnp.where(keep, lists, -1)
+        pmasks = jnp.where(keep, masks, 0)
+    else:
+        plists, pmasks = lists, masks
+
     # Packed layout for the Pallas kernel: each tile's rows padded into a
     # (16, 128) int32 block (DMA slices must be tile-aligned on TPU).
     # Flat slot 0 = run count, slots 1.. = cid0·16+len run entries,
     # slots 1024.. = per-run subbatch masks.
-    packed = _pack_runs(lists, masks, num_tiles)
+    packed = _pack_runs(plists, pmasks, num_tiles)
     return TileBins(
         tile_lists=lists.reshape(tiles_y, tiles_x, L),
         tile_counts=total.reshape(tiles_y, tiles_x),

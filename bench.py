@@ -62,7 +62,7 @@ def main() -> None:
     cfg = kani.RenderConfig(
         width=1920, height=1080, mode=kani.RenderMode.LIT_SHADOW,
         raster_backend="pallas" if on_tpu else "xla",
-        tile_h=64, max_tiles_per_chunk=128, max_chunks_per_tile=512,
+        tile_h=32, max_tiles_per_chunk=128, max_chunks_per_tile=512,
         max_global_chunks=256,
         # The executable the interactive loop ships: LDR surface emitted
         # as uint8 on-device (runtime/loop.py forces the same).
@@ -94,12 +94,11 @@ def main() -> None:
         return time.perf_counter() - t0
 
     # Pinned protocol (round-3 reproducibility): fixed warmup, then FIVE
-    # timed passes; the headline is the MEDIAN.  The tunneled device
-    # intermittently runs whole passes at ~half speed for minutes
-    # (measured: 9.2 / 4.8 / 9.4 FPS for identical code in one process;
-    # docs/PERFORMANCE.md "the tunneled chip is BIMODAL"), so a single
-    # pass is meaningless and the median of five is the honest
-    # steady-state.
+    # timed passes; the headline is the MEDIAN.  With transfers out of
+    # the timed window, pass spread is ~0.1% — but the device runs
+    # multi-hour rate regimes ~35% apart (docs/PERFORMANCE.md "two
+    # variance sources"), so absolute numbers depend on regime luck;
+    # the median of five guards against intra-run transitions.
     if fresh:
         # Reference parity: shadow re-rendered inside every frame.
         flythrough(3)

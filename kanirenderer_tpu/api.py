@@ -93,7 +93,7 @@ def run(file_path: str = "", file_type: str = "opengl",
         # measures with — docs/PERFORMANCE.md; RenderConfig defaults
         # stay sized for small CPU-test frames).  KANI_TILE_H overrides.
         cfg = cfg.with_(
-            tile_h=int(os.environ.get("KANI_TILE_H", 64)),
+            tile_h=int(os.environ.get("KANI_TILE_H", 32)),
             max_tiles_per_chunk=128, max_chunks_per_tile=512,
             max_global_chunks=256)
     # Interactive path: a live window is both sink and event source —

@@ -39,6 +39,9 @@ _SENTINEL = jnp.int32(2**31 - 1)
 # Drop packed-list entries with empty subbatch masks (exact; saves the
 # kernel a DMA+sync per dropped entry).  0 disables for measurement.
 _MASK_PRUNE = _os.environ.get("KANI_MASK_PRUNE", "1") != "0"
+# Pack the (tile, chunk) key and subbatch mask into one int32 for a
+# single-array sort (halves the sort's data movement).  0 disables.
+_PACK_SORT = _os.environ.get("KANI_PACK_SORT", "1") != "0"
 
 
 class TileBins(NamedTuple):
@@ -187,9 +190,23 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
                          sx1[:, None], sy1[:, None])
     mexp = jnp.where(valid_slot, mexp, 0)
 
-    skey, smask = jax.lax.sort((key.reshape(-1), mexp.reshape(-1)),
-                               num_keys=1)              # (C*S,)
-    schunk = jnp.where(skey == _SENTINEL, -1, skey % C)
+    # The (tile, chunk) key needs ⌈log2(num_tiles·C)⌉ bits and the
+    # subbatch mask SUBS_PER_CHUNK more; when they fit one int32
+    # together, pack them and sort a SINGLE array — the bitonic sort's
+    # data movement halves vs a key+payload co-sort.
+    nsb = SUBS_PER_CHUNK
+    if _PACK_SORT and nsb <= 8 and num_tiles * C <= (2**31 - 2) >> nsb:
+        packed_key = jnp.where(valid_slot, key * (1 << nsb) + mexp,
+                               _SENTINEL)
+        skey_p = jnp.sort(packed_key.reshape(-1))       # (C*S,)
+        is_pad = skey_p == _SENTINEL
+        skey = jnp.where(is_pad, _SENTINEL, skey_p >> nsb)
+        smask = jnp.where(is_pad, 0, skey_p & ((1 << nsb) - 1))
+        schunk = jnp.where(is_pad, -1, skey % C)
+    else:
+        skey, smask = jax.lax.sort((key.reshape(-1), mexp.reshape(-1)),
+                                   num_keys=1)          # (C*S,)
+        schunk = jnp.where(skey == _SENTINEL, -1, skey % C)
 
     # --- per-tile ranges ---
     tids = jnp.arange(num_tiles, dtype=jnp.int32)

@@ -180,3 +180,35 @@ def test_overflow_surfaces_through_frame_outputs():
                              raster_backend="pallas")
     out2 = render_frame(scene, state, cfg2)
     assert int(out2.raster_overflow) == 0
+
+
+def test_packed_sort_matches_cosort_fallback(monkeypatch):
+    """The single-array packed key sort (KANI_PACK_SORT=1, the default)
+    must produce identical bins to the key+payload co-sort fallback."""
+    import importlib
+    from kanirenderer_tpu.ops import binning as bmod
+
+    scene = sponza_standin_scene(target_tris=6000, num_materials=4,
+                                 tex_size=32)
+    cfg = kani.RenderConfig(width=256, height=192)
+    st = _setup_for(scene, COURTYARD_CAM, cfg)
+
+    def bins_with(env_val):
+        monkeypatch.setenv("KANI_PACK_SORT", env_val)
+        importlib.reload(bmod)
+        return bmod.bin_chunks(st.bbox, cfg.tiles_x, cfg.tiles_y,
+                               cfg.tile_w, cfg.tile_h)
+
+    try:
+        b1 = bins_with("1")
+        b0 = bins_with("0")
+        np.testing.assert_array_equal(np.asarray(b1.packed),
+                                      np.asarray(b0.packed))
+        np.testing.assert_array_equal(np.asarray(b1.tile_lists),
+                                      np.asarray(b0.tile_lists))
+        np.testing.assert_array_equal(np.asarray(b1.tile_counts),
+                                      np.asarray(b0.tile_counts))
+        assert int(b1.overflow) == int(b0.overflow)
+    finally:
+        monkeypatch.delenv("KANI_PACK_SORT", raising=False)
+        importlib.reload(bmod)

@@ -48,6 +48,9 @@ SUBBATCH_SKIP = _os.environ.get("KANI_SUBBATCH_SKIP", "1") != "0"
 # | "p1c" (p1 + winner compaction, no interpolation DMA/loop).  Non-default
 # values produce wrong images — bench instrumentation only.
 FUSED_PHASE = _os.environ.get("KANI_FUSED_PHASE", "full")
+# Measurement-only: 1 restores the redundant `& (ww > 0)` coverage term
+# (see eval_subbatch) for A/B.
+COVER_WW = _os.environ.get("KANI_COVER_WW", "0") == "1"
 # >128-triangle chunks break the phase-2 128-lane LUT.
 assert CHUNK_SIZE <= 128, \
     f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be at most 128"
@@ -154,12 +157,17 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
         for k in range(SUBBATCH):
             l0, l1, l2, zw, ww = [
                 lxs[t][k:k + 1, :] + lys[t][:, k:k + 1] for t in range(5)]
-            # covered ⇔ min(l0, l1, l2, zw, ww−zw) ≥ 0 ∧ ww > 0 (the
-            # depth-range clip without division; invalid rows are
+            # (the depth-range clip without division; invalid rows are
             # all-zero → ww = 0).
+            # covered ⇔ q ≥ 0 alone: zw ≥ 0 ∧ ww−zw ≥ 0 already imply
+            # ww ≥ 0, and the ww = 0 degenerate (all-zero invalid rows)
+            # enters the tournament as (zw_c, ww_c=0), which loses every
+            # cross-multiplied compare and fails the final wvalid —
+            # dropping the extra compare+and saves 2 full-tile VPU ops
+            # per triangle.
             q = jnp.minimum(jnp.minimum(jnp.minimum(l0, l1), l2),
                             jnp.minimum(zw, ww - zw))
-            covered = (q >= 0.0) & (ww > 0.0)
+            covered = (q >= 0.0) & (ww > 0.0) if COVER_WW else q >= 0.0
             if wireframe:
                 d = jnp.minimum(jnp.minimum(l0 * gs[0][k:k + 1],
                                             l1 * gs[1][k:k + 1]),
@@ -392,9 +400,15 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
         for k in range(SUBBATCH):
             l0, l1, l2, zw, ww = [
                 lxs[t][k:k + 1, :] + lys[t][:, k:k + 1] for t in range(5)]
+            # covered ⇔ q ≥ 0 alone: zw ≥ 0 ∧ ww−zw ≥ 0 already imply
+            # ww ≥ 0, and the ww = 0 degenerate (all-zero invalid rows)
+            # enters the tournament as (zw_c, ww_c=0), which loses every
+            # cross-multiplied compare and fails the final wvalid —
+            # dropping the extra compare+and saves 2 full-tile VPU ops
+            # per triangle.
             q = jnp.minimum(jnp.minimum(jnp.minimum(l0, l1), l2),
                             jnp.minimum(zw, ww - zw))
-            covered = (q >= 0.0) & (ww > 0.0)
+            covered = (q >= 0.0) & (ww > 0.0) if COVER_WW else q >= 0.0
             if wireframe:
                 d = jnp.minimum(jnp.minimum(l0 * gs[0][k:k + 1],
                                             l1 * gs[1][k:k + 1]),

@@ -261,12 +261,15 @@ def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
     x0 = jnp.where(valid, x0, float(width))
     y0 = jnp.where(valid, y0, float(height))
 
-    # Invalid triangles get all-zero rows (ww ≡ 0 → never covered), so the
-    # rasterizers need no separate validity test; lane 15 keeps the flag
-    # for diagnostics.
+    # Invalid triangles get zeroed rows with e0.c = −1 (l0 ≡ −1 → never
+    # covered anywhere), so the rasterizers need no separate validity
+    # test.  The constant must be strictly negative — all-zero rows would
+    # satisfy the coverage test (min of zeros ≥ 0) and their (zw=0, ww=0)
+    # tournament entry would tie-and-hold against real triangles.  Lane 15
+    # keeps the flag for diagnostics.
     vf = valid.astype(jnp.float32)
     setup = jnp.stack(
-        [r0[0] * vf, r0[1] * vf, r0[2] * vf,
+        [r0[0] * vf, r0[1] * vf, r0[2] * vf - (1.0 - vf),
          r1[0] * vf, r1[1] * vf, r1[2] * vf,
          r2[0] * vf, r2[1] * vf, r2[2] * vf,
          zrow[0] * vf, zrow[1] * vf, zrow[2] * vf,

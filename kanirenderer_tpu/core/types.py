@@ -120,6 +120,13 @@ class Scene(NamedTuple):
     # Scenes with u16/f32 normal maps keep the separate tables (source
     # bit depth preserved, reference src/texture.rs:113-129).
     tex_combined: Array = _np.zeros((0, 128), _np.uint8)
+    # Static per-triangle material-parameter record lanes
+    # [mat, tex_w, tex_h, blk_base_hi, blk_base_lo, blk_w] — material
+    # assignment never changes after scene build, so the per-frame record
+    # assembly (ops/interpolate.build_tri_records) reuses this instead of
+    # re-gathering 4 × T rows every frame.  (0, 6) = compute on the fly
+    # (hand-built test scenes).
+    tri_extra: Array = _np.zeros((0, 6), _np.float32)
 
     @property
     def num_vertices(self) -> int:

@@ -320,7 +320,20 @@ class SceneBuilder:
                 math3d.instance_to_model_matrix(pos, quat))
             normals_m[i] = np.asarray(math3d.quat_to_mat3(quat))
 
+        # Static material-param record lanes (material assignment never
+        # changes post-build) — saves 4 × T per-frame row gathers in
+        # ops/interpolate.build_tri_records.
+        tm = np.asarray(tri_mat, np.int64)
+        base = np.asarray(mat_blk_base, np.int64)[tm]
+        tri_extra = np.stack(
+            [tm,
+             np.asarray(mat_tex_size)[tm, 0], np.asarray(mat_tex_size)[tm, 1],
+             base // 65536, base % 65536,
+             np.asarray(mat_blk_w, np.int64)[tm]],
+            axis=1).astype(np.float32)
+
         return Scene(
+            tri_extra=jnp.asarray(tri_extra),
             position=jnp.asarray(position),
             uv=jnp.asarray(uv),
             normal=jnp.asarray(normal),

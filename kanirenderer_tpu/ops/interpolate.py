@@ -47,21 +47,34 @@ class PixelBuffer(NamedTuple):
 
 def build_tri_records(tri_idx: Array, tri_mat: Array, varyings: Array,
                       mat_blk_base: Array, mat_blk_w: Array,
-                      mat_tex_size: Array) -> Array:
-    """(T, 3·USED+6) per-triangle shading records."""
+                      mat_tex_size: Array, setup: Array = None,
+                      extra: Array = None) -> Array:
+    """(T, 3·USED+6) per-triangle shading records.
+
+    With ``setup`` (the (T, 16) triangle_setup rows), they are prepended
+    inside the same concat — (T, 16+3·USED+6) "fat" rows for the fused
+    Pallas kernel's phase 2, which recomputes barycentrics from the edge
+    lanes (ops/raster_pallas.FAT_LANES layout) with no extra relayout.
+
+    ``extra``: precomputed static material-param lanes (Scene.tri_extra);
+    material assignment is static per scene, so passing it skips 4 × T
+    per-frame row gathers.  None/(0, 6) = compute here.
+    """
     v = varyings[:, :USED]
     r0 = v[tri_idx[:, 0]]
     r1 = v[tri_idx[:, 1]]
     r2 = v[tri_idx[:, 2]]
-    tw = jnp.take(mat_tex_size[:, 0], tri_mat, axis=0)
-    th = jnp.take(mat_tex_size[:, 1], tri_mat, axis=0)
-    base = jnp.take(mat_blk_base, tri_mat, axis=0)
-    bw = jnp.take(mat_blk_w, tri_mat, axis=0)
-    base_hi = base // 65536
-    base_lo = base - base_hi * 65536
-    extra = jnp.stack([tri_mat, tw, th, base_hi, base_lo, bw],
-                      axis=1).astype(jnp.float32)
-    return jnp.concatenate([r0, r1, r2, extra], axis=1)
+    if extra is None or extra.shape[0] == 0:
+        tw = jnp.take(mat_tex_size[:, 0], tri_mat, axis=0)
+        th = jnp.take(mat_tex_size[:, 1], tri_mat, axis=0)
+        base = jnp.take(mat_blk_base, tri_mat, axis=0)
+        bw = jnp.take(mat_blk_w, tri_mat, axis=0)
+        base_hi = base // 65536
+        base_lo = base - base_hi * 65536
+        extra = jnp.stack([tri_mat, tw, th, base_hi, base_lo, bw],
+                          axis=1).astype(jnp.float32)
+    head = [] if setup is None else [setup]
+    return jnp.concatenate(head + [r0, r1, r2, extra], axis=1)
 
 
 def interpolate(vis: VisBuffer, tri_idx: Array, tri_mat: Array,

@@ -56,12 +56,19 @@ assert CHUNK_SIZE <= 128, \
     f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be at most 128"
 _BIG = float("inf")
 
-# Chunk-row lane layout for the fused raster+interpolate kernel:
-# [setup 0:16 | bbox 16:20 | v0 varyings 20:37 | v1 37:54 | v2 54:71 |
-#  mat, tex_w, tex_h, blk_hi, blk_lo, blk_w 71:77 | pad]
-REC0 = NS + 4            # 20
-PAR0 = REC0 + 3 * USED   # 98
-REC_LANES = 3 * USED + 6  # matches interpolate.build_tri_records width
+# The kernels read two per-chunk HBM arrays (no packed super-array: the
+# old 128-lane setup_c assembly was a measured ~6-7 ms XLA relayout floor
+# per raster call, and physical (8, 128) tiling pads narrow minor dims
+# for free anyway):
+#  * slim (C, CHUNK, NS):  phase-1 visibility — the raw triangle_setup
+#    rows, reshaped (free) + run-tail padded (cheap row concat);
+#  * fat  (C, CHUNK, FAT_LANES): phase-2 interpolation — records from
+#    interpolate.build_tri_records(..., setup=·):
+#    [setup 0:16 | v0 varyings 16:33 | v1 33:50 | v2 50:67 |
+#     mat, tex_w, tex_h, blk_hi, blk_lo, blk_w 67:73]
+REC0 = NS                 # 16
+PAR0 = REC0 + 3 * USED    # 67
+FAT_LANES = PAR0 + 6      # 73 — matches build_tri_records(setup=·) width
 
 
 def _interpret() -> bool:
@@ -247,23 +254,19 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
     jax.lax.fori_loop(0, count, run_body, 0)
 
 
-def _run(setup: Array, bins_bbox: Array, bins: binning.TileBins,
+def _run(setup: Array, bins: binning.TileBins,
          width: int, height: int,
          tile_w: int, tile_h: int, wireframe: bool, wire_thresh: float,
          depth_only: bool):
     tiles_y, tiles_x, L = bins.tile_lists.shape
     C = setup.shape[0] // CHUNK_SIZE
-    # Pad the 16 setup lanes to 128 so per-chunk DMA slices are
-    # tile-aligned (Mosaic requires (8, 128)-aligned memref slices).
-    # Lanes 16:20 carry the per-triangle screen bbox for in-kernel
-    # subbatch rejection.
-    setup_c = jnp.pad(setup.reshape(C, CHUNK_SIZE, NS),
-                      ((0, 0), (0, 0), (0, 128 - NS)))
-    setup_c = setup_c.at[:, :, NS:NS + 4].set(
-        bins_bbox.reshape(C, CHUNK_SIZE, 4))
     # RUN_CHUNKS-1 zero tail chunks keep the fixed-size run DMA in-bounds
     # for runs starting near the end (zero rows are invalid: ww = 0).
-    setup_c = jnp.pad(setup_c, ((0, RUN_CHUNKS - 1), (0, 0), (0, 0)))
+    # The reshape is free and the row-pad a cheap major-dim concat; the
+    # NS-lane minor dim is padded to 128 by the physical (8, 128) tiling,
+    # so per-run DMA slices stay tile-aligned with no explicit lane pad.
+    setup_c = jnp.pad(setup.reshape(C, CHUNK_SIZE, NS),
+                      ((0, RUN_CHUNKS - 1), (0, 0), (0, 0)))
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
 
     kernel = functools.partial(
@@ -299,7 +302,7 @@ def _run(setup: Array, bins_bbox: Array, bins: binning.TileBins,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((16, 128), jnp.int32),
-            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, 128), jnp.float32),
+            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, NS), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
@@ -316,16 +319,17 @@ def rasterize(st: TriangleSetup, config: RenderConfig,
         st.bbox, cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h,
         cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
         cfg.max_global_chunks)
-    z, tri, b1, b2 = _run(st.setup, st.bbox, bins, cfg.width, cfg.height, cfg.tile_w,
+    z, tri, b1, b2 = _run(st.setup, bins, cfg.width, cfg.height, cfg.tile_w,
                           cfg.tile_h, wireframe, cfg.wire_thresh_px, False)
     H, W = cfg.height, cfg.width
     return VisBuffer(tri=tri[:H, :W], z=z[:H, :W],
                      bary=jnp.stack([b1[:H, :W], b2[:H, :W]], axis=-1))
 
 
-def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
-                  th_ref, base_ref, bw_ref, tid_ref, list_smem, chunk_buf,
-                  cand_ref, win_smem, cnt_smem, list_sem, sem, *, tile_h,
+def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
+                  tw_ref, th_ref, base_ref, bw_ref, tid_ref, list_smem,
+                  chunk_buf, fat_buf, cand_ref, win_smem, cnt_smem,
+                  list_sem, sem, *, tile_h,
                   tile_w, tiles_x, wireframe, wire_thresh):
     """Raster + interpolate in one pass over the tile's run list.
 
@@ -526,8 +530,10 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
         return win_smem[k // 128, k % 128]
 
     def dma_one(slot, cid):
-        return pltpu.make_async_copy(setup_hbm.at[cid],
-                                     chunk_buf.at[slot, 0], sem.at[slot])
+        # Phase 2 streams the FAT record rows (setup + varyings + material
+        # params) — only winner chunks pay this fetch.
+        return pltpu.make_async_copy(rec_hbm.at[cid],
+                                     fat_buf.at[slot], sem.at[slot])
 
     # NBUF-deep DMA pipeline over the compacted winner list.
     for w in range(NBUF - 1):
@@ -547,11 +553,11 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
         mask = win_cid == cid
 
         local = jnp.where(mask, cand - cid * CHUNK_SIZE, 0)
-        chunk = chunk_buf[slot, 0]    # (CHUNK_SIZE, 128)
+        chunk = fat_buf[slot]          # (CHUNK_SIZE, FAT_LANES)
         if CHUNK_SIZE < 128:
             padded = jnp.concatenate(
                 [chunk,
-                 jnp.zeros((128 - CHUNK_SIZE, 128), jnp.float32)])
+                 jnp.zeros((128 - CHUNK_SIZE, FAT_LANES), jnp.float32)])
         else:
             padded = chunk
         ct = padded.T                  # (128 lanes->tri slots) per row
@@ -592,9 +598,9 @@ def _fused_kernel(lists_hbm, setup_hbm, z_ref, vary_ref, mat_ref, tw_ref,
     jax.lax.fori_loop(0, nwin, interp_body, 0)
 
 
-def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
-               tile_h: int, tiles_x: int, tiles_y: int, wireframe: bool,
-               wire_thresh: float):
+def _run_fused(setup_c: Array, rec_c: Array, bins: binning.TileBins,
+               tile_w: int, tile_h: int, tiles_x: int, tiles_y: int,
+               wireframe: bool, wire_thresh: float):
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
     kernel = functools.partial(
         _fused_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
@@ -609,6 +615,7 @@ def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
         kernel,
         grid=(tiles_y, tiles_x),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[bspec, vspec] + [bspec] * 6,
         out_shape=[plane_f,
@@ -616,7 +623,8 @@ def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
                    plane_i, plane_i, plane_i, plane_i, plane_i, plane_i],
         scratch_shapes=[
             pltpu.SMEM((16, 128), jnp.int32),
-            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, 128), jnp.float32),
+            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, NS), jnp.float32),
+            pltpu.VMEM((NBUF, CHUNK_SIZE, FAT_LANES), jnp.float32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),
             pltpu.SMEM((8, 128), jnp.int32),
             pltpu.SMEM((1, 1), jnp.int32),
@@ -624,7 +632,7 @@ def _run_fused(setup_c: Array, bins: binning.TileBins, tile_w: int,
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=_interpret(),
-    )(bins.packed, setup_c)
+    )(bins.packed, setup_c, rec_c)
 
 
 @functools.partial(jax.jit,
@@ -636,8 +644,9 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
                      y0: Array | None = None) -> PixelBuffer:
     """Fused visibility raster + record interpolation (one Pallas launch).
 
-    ``records``: (T, 3·USED+6) per-triangle shading records from
-    ops/interpolate.build_tri_records.  Returns the same PixelBuffer the
+    ``records``: (T, FAT_LANES) per-triangle shading records from
+    ops/interpolate.build_tri_records(..., setup=st.setup) — setup rows
+    prepended so phase 2 can recompute barycentrics from one fetch.  Returns the same PixelBuffer the
     XLA path (rasterize_xla → interpolate) produces, so shading and tests
     are backend-agnostic from here on.
 
@@ -657,23 +666,22 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
         cols = jnp.array([2, 5, 8, 11, 14])
         setup = setup.at[:, cols].add(setup[:, cols - 1] * y0f)
         bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
+        # The records' leading setup lanes feed phase-2's barycentric
+        # recompute — re-anchor them identically.
+        records = records.at[:, cols].add(records[:, cols - 1] * y0f)
     tiles_y = -(-band_h // cfg.tile_h)
     bins = binning.bin_chunks(
         bbox, cfg.tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
         cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
         cfg.max_global_chunks)
     C = setup.shape[0] // CHUNK_SIZE
+    # Slim phase-1 rows: reshape (free) + run-tail pad (cheap row concat).
     setup_c = jnp.pad(setup.reshape(C, CHUNK_SIZE, NS),
-                      ((0, 0), (0, 0), (0, 128 - NS)))
-    setup_c = setup_c.at[:, :, NS:NS + 4].set(
-        bbox.reshape(C, CHUNK_SIZE, 4))
-    setup_c = setup_c.at[:, :, REC0:REC0 + REC_LANES].set(
-        records.reshape(C, CHUNK_SIZE, REC_LANES))
-    # RUN_CHUNKS-1 zero tail chunks keep the fixed-size run DMA in-bounds.
-    setup_c = jnp.pad(setup_c, ((0, RUN_CHUNKS - 1), (0, 0), (0, 0)))
+                      ((0, RUN_CHUNKS - 1), (0, 0), (0, 0)))
+    rec_c = records.reshape(C, CHUNK_SIZE, FAT_LANES)
 
     z, vary, mat, tw, th, base, bw, tid = _run_fused(
-        setup_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, tiles_y,
+        setup_c, rec_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, tiles_y,
         wireframe, cfg.wire_thresh_px)
     H, W = band_h, cfg.width
     return PixelBuffer(varyings=vary[:, :H, :W], mat_id=mat[:H, :W],
@@ -708,6 +716,6 @@ def rasterize_depth(st: TriangleSetup, config: RenderConfig,
         bbox, tiles_x, tiles_y, cfg.tile_w, th,
         cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
         cfg.max_global_chunks)
-    (z,) = _run(setup, bbox, bins, dim, H, cfg.tile_w, th,
+    (z,) = _run(setup, bins, dim, H, cfg.tile_w, th,
                 False, 0.0, True)
     return z[:H, :dim]

@@ -63,7 +63,8 @@ def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
         from kanirenderer_tpu.ops import raster_pallas
         records = build_tri_records(scene.tri_idx, scene.tri_mat,
                                     vout.varyings, scene.mat_blk_base,
-                                    scene.mat_blk_w, scene.mat_tex_size)
+                                    scene.mat_blk_w, scene.mat_tex_size,
+                                    setup=st.setup, extra=scene.tri_extra)
         return raster_pallas.rasterize_pixels(st, records, cfg,
                                               wireframe=wireframe,
                                               band_h=band_h, y0=y0)

@@ -120,13 +120,24 @@ class Scene(NamedTuple):
     # Scenes with u16/f32 normal maps keep the separate tables (source
     # bit depth preserved, reference src/texture.rs:113-129).
     tex_combined: Array = _np.zeros((0, 128), _np.uint8)
-    # Static per-triangle material-parameter record lanes
+    # Static per-triangle material-parameter record lanes, planar (6, T):
     # [mat, tex_w, tex_h, blk_base_hi, blk_base_lo, blk_w] — material
     # assignment never changes after scene build, so the per-frame record
-    # assembly (ops/interpolate.build_tri_records) reuses this instead of
-    # re-gathering 4 × T rows every frame.  (0, 6) = compute on the fly
-    # (hand-built test scenes).
+    # assembly (ops/interpolate.build_tri_records*) reuses this instead
+    # of re-gathering 4 × T rows every frame.  (0, 6) = compute on the
+    # fly (hand-built test scenes).
     tri_extra: Array = _np.zeros((0, 6), _np.float32)
+    # Corner-major static geometry (ops/vertex.run_vertex_stage_corners):
+    # per-corner planes expanded over tri_idx at build time, so the
+    # per-frame geometry stage needs NO corner row gathers (the gather
+    # pattern is static).  Layout: row (corner·ncomp + comp, T).  Empty =
+    # absent (hand-built scenes fall back to the vertex-major path).
+    corner_pos: Array = _np.zeros((0, 0), _np.float32)       # (9, T)
+    corner_uv: Array = _np.zeros((0, 0), _np.float32)        # (6, T)
+    corner_normal: Array = _np.zeros((0, 0), _np.float32)    # (9, T)
+    corner_tangent: Array = _np.zeros((0, 0), _np.float32)   # (9, T)
+    corner_bitangent: Array = _np.zeros((0, 0), _np.float32)  # (9, T)
+    tri_object: Array = _np.zeros((0,), _np.int32)           # (T,) object id
 
     @property
     def num_vertices(self) -> int:

@@ -330,10 +330,28 @@ class SceneBuilder:
              np.asarray(mat_tex_size)[tm, 0], np.asarray(mat_tex_size)[tm, 1],
              base // 65536, base % 65536,
              np.asarray(mat_blk_w, np.int64)[tm]],
-            axis=1).astype(np.float32)
+            axis=0).astype(np.float32)             # planar (6, T)
+
+        # Corner-major expansions: the gather pattern (tri_idx) is static,
+        # so per-corner attribute planes are built once here and the
+        # per-frame geometry stage runs gather-free (vertex.py
+        # run_vertex_stage_corners).
+        ti = np.asarray(tri_idx, np.int64)                    # (T, 3)
+
+        def corners(attr):  # (V, n) → (3·n, T) planes
+            a = np.asarray(attr, np.float32)
+            return np.concatenate([a[ti[:, k]].T for k in range(3)], axis=0)
 
         return Scene(
             tri_extra=jnp.asarray(tri_extra),
+            corner_pos=jnp.asarray(corners(position)),
+            corner_uv=jnp.asarray(corners(uv)),
+            corner_normal=jnp.asarray(corners(normal)),
+            corner_tangent=jnp.asarray(corners(tangent)),
+            corner_bitangent=jnp.asarray(corners(bitangent)),
+            tri_object=jnp.asarray(
+                np.asarray(vertex_object, np.int64)[ti[:, 0]].astype(
+                    np.int32)),
             position=jnp.asarray(position),
             uv=jnp.asarray(uv),
             normal=jnp.asarray(normal),

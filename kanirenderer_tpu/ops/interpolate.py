@@ -56,14 +56,16 @@ def build_tri_records(tri_idx: Array, tri_mat: Array, varyings: Array,
     Pallas kernel's phase 2, which recomputes barycentrics from the edge
     lanes (ops/raster_pallas.FAT_LANES layout) with no extra relayout.
 
-    ``extra``: precomputed static material-param lanes (Scene.tri_extra);
-    material assignment is static per scene, so passing it skips 4 × T
-    per-frame row gathers.  None/(0, 6) = compute here.
+    ``extra``: precomputed static material-param lanes (Scene.tri_extra,
+    planar (6, T)); material assignment is static per scene, so passing
+    it skips 4 × T per-frame row gathers.  None/(0, 6) = compute here.
     """
     v = varyings[:, :USED]
     r0 = v[tri_idx[:, 0]]
     r1 = v[tri_idx[:, 1]]
     r2 = v[tri_idx[:, 2]]
+    if extra is not None and extra.shape[0] == 6:
+        extra = extra.T
     if extra is None or extra.shape[0] == 0:
         tw = jnp.take(mat_tex_size[:, 0], tri_mat, axis=0)
         th = jnp.take(mat_tex_size[:, 1], tri_mat, axis=0)
@@ -75,6 +77,22 @@ def build_tri_records(tri_idx: Array, tri_mat: Array, varyings: Array,
                           axis=1).astype(jnp.float32)
     head = [] if setup is None else [setup]
     return jnp.concatenate(head + [r0, r1, r2, extra], axis=1)
+
+
+def build_tri_records_corners(varyings_c, setup_planes, tri_extra) -> Array:
+    """Fat (T, 16+3·USED+6) records from corner-major planes.
+
+    ``varyings_c``: 3 corners × USED (T,) planes (CornerOutputs.varyings);
+    ``setup_planes``: the 16 masked setup columns from
+    triangle_setup_corners; ``tri_extra``: planar (6, T) static material
+    lanes.  ONE 73-column stack — the whole record assembly is a single
+    relayout with no per-frame gathers anywhere.
+    """
+    cols = list(setup_planes)
+    for k in range(3):
+        cols.extend(varyings_c[k][:USED])
+    cols.extend(tri_extra[i] for i in range(6))
+    return jnp.stack(cols, axis=1)
 
 
 def interpolate(vis: VisBuffer, tri_idx: Array, tri_mat: Array,

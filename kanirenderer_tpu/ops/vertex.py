@@ -129,6 +129,78 @@ def run_vertex_stage(scene: Scene, object_model: Array, object_normal: Array,
     return VertexOutputs(clip=clip, varyings=varyings, light_clip=light_clip)
 
 
+class CornerOutputs(NamedTuple):
+    """Corner-major vertex-stage outputs: tuples of planar (T,) arrays.
+
+    ``clip``/``light_clip``: 3 corners × (x, y, z, w); ``varyings``:
+    3 corners × USED-plane tuples in the layout above.  Feeding
+    triangle_setup_corners / records assembly directly, these replace the
+    per-frame corner row gathers (clip: 3T rows, varyings: 3 × T rows) of
+    the vertex-major path — the gather pattern (tri_idx) is static, so
+    the scene stores corner-expanded attributes and the vertex math runs
+    over triangles' corners instead of shared vertices.  Identical
+    results: the math per (vertex, triangle) instance is the same.
+    """
+    clip: tuple
+    varyings: tuple
+    light_clip: tuple
+
+
+def run_vertex_stage_corners(scene, object_model: Array,
+                             object_normal: Array, view_proj: Array,
+                             camera_pos: Array, lights,
+                             light_view_proj: Array) -> CornerOutputs:
+    """Corner-major ``run_vertex_stage`` over Scene.corner_* planes.
+
+    One (T,)-row gather of the per-TRIANGLE object matrices (a triangle
+    belongs to exactly one object) replaces the per-vertex matrix gather;
+    everything downstream is pure planar math — no row gathers anywhere
+    between here and the raster kernel.
+    """
+    O = object_model.shape[0]
+    mm = jnp.take(object_model.reshape(O, 16), scene.tri_object,
+                  axis=0).T                     # (16, T)
+    nm = jnp.take(object_normal.reshape(O, 9), scene.tri_object,
+                  axis=0).T                     # (9, T)
+
+    def nmul(v0, v1, v2):
+        a = nm[0] * v0 + nm[1] * v1 + nm[2] * v2
+        b = nm[3] * v0 + nm[4] * v1 + nm[5] * v2
+        c = nm[6] * v0 + nm[7] * v1 + nm[8] * v2
+        return _norm_planes(a, b, c)
+
+    clip, light_clip, varyings = [], [], []
+    for k in range(3):
+        px, py, pz = (scene.corner_pos[3 * k + i] for i in range(3))
+        wx = mm[0] * px + mm[1] * py + mm[2] * pz + mm[3]
+        wy = mm[4] * px + mm[5] * py + mm[6] * pz + mm[7]
+        wz = mm[8] * px + mm[9] * py + mm[10] * pz + mm[11]
+
+        tx, ty, tz = nmul(*(scene.corner_tangent[3 * k + i]
+                            for i in range(3)))
+        bx, by, bz = nmul(*(scene.corner_bitangent[3 * k + i]
+                            for i in range(3)))
+        nx, ny, nz = nmul(*(scene.corner_normal[3 * k + i]
+                            for i in range(3)))
+
+        def mat_apply(m):
+            return tuple(m[i, 0] * wx + m[i, 1] * wy + m[i, 2] * wz
+                         + m[i, 3] for i in range(4))
+
+        clip.append(mat_apply(view_proj))
+        light_clip.append(mat_apply(light_view_proj))
+
+        tp0 = tx * wx + ty * wy + tz * wz
+        tp1 = bx * wx + by * wy + bz * wz
+        tp2 = nx * wx + ny * wy + nz * wz
+        varyings.append((tp0, tp1, tp2,
+                         tx, ty, tz, bx, by, bz, nx, ny, nz,
+                         wx, wy, wz,
+                         scene.corner_uv[2 * k], scene.corner_uv[2 * k + 1]))
+    return CornerOutputs(clip=tuple(clip), varyings=tuple(varyings),
+                         light_clip=tuple(light_clip))
+
+
 class TriangleSetup(NamedTuple):
     setup: Array   # (T, NS) f32
     bbox: Array    # (T, 4) f32 — (x0, y0, x1, y1) pixel bounds, inclusive-exclusive
@@ -153,6 +225,33 @@ def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
     y = (c12[1], c12[5], c12[9])
     z = (c12[2], c12[6], c12[10])
     w = (c12[3], c12[7], c12[11])
+    st, _ = _setup_from_corner_planes(
+        x, y, z, w, tri_valid, width, height, cull_backfaces,
+        depth_bias_constant, depth_bias_slope)
+    return st
+
+
+def triangle_setup_corners(clip_c, tri_valid: Array,
+                           width: int, height: int, cull_backfaces: bool,
+                           depth_bias_constant: float = 0.0,
+                           depth_bias_slope: float = 0.0):
+    """``triangle_setup`` from corner-major clip planes (no gather).
+
+    ``clip_c``: 3 corners × (x, y, z, w) planes, each (T,) — the output of
+    ``run_vertex_stage_corners``.  Returns (TriangleSetup, setup_planes)
+    where setup_planes are the 16 masked (T,) columns, so record assembly
+    can restack them without slicing the row-major setup array.
+    """
+    x, y, z, w = (tuple(clip_c[k][i] for k in range(3)) for i in range(4))
+    return _setup_from_corner_planes(
+        x, y, z, w, tri_valid, width, height, cull_backfaces,
+        depth_bias_constant, depth_bias_slope)
+
+
+def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
+                              cull_backfaces, depth_bias_constant,
+                              depth_bias_slope):
+    T = x[0].shape[0]
 
     # Homogeneous screen coords: px/pw = pixel x.  NDC y-up → pixel y-down.
     px = tuple((0.5 * x[k] + 0.5 * w[k]) * width for k in range(3))
@@ -268,12 +367,12 @@ def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
     # tournament entry would tie-and-hold against real triangles.  Lane 15
     # keeps the flag for diagnostics.
     vf = valid.astype(jnp.float32)
-    setup = jnp.stack(
-        [r0[0] * vf, r0[1] * vf, r0[2] * vf - (1.0 - vf),
-         r1[0] * vf, r1[1] * vf, r1[2] * vf,
-         r2[0] * vf, r2[1] * vf, r2[2] * vf,
-         zrow[0] * vf, zrow[1] * vf, zrow[2] * vf,
-         wrow[0] * vf, wrow[1] * vf, wrow[2] * vf,
-         vf], axis=1)                           # (T, NS)
+    planes = [r0[0] * vf, r0[1] * vf, r0[2] * vf - (1.0 - vf),
+              r1[0] * vf, r1[1] * vf, r1[2] * vf,
+              r2[0] * vf, r2[1] * vf, r2[2] * vf,
+              zrow[0] * vf, zrow[1] * vf, zrow[2] * vf,
+              wrow[0] * vf, wrow[1] * vf, wrow[2] * vf,
+              vf]
+    setup = jnp.stack(planes, axis=1)           # (T, NS)
     bbox = jnp.stack([x0, y0, x1, y1], axis=1)
-    return TriangleSetup(setup=setup, bbox=bbox)
+    return TriangleSetup(setup=setup, bbox=bbox), planes

@@ -29,7 +29,10 @@ from kanirenderer_tpu.core.types import (DebugTexture, FrameState,
 from kanirenderer_tpu.ops import raster_xla
 from kanirenderer_tpu.ops.interpolate import interpolate
 from kanirenderer_tpu.ops.sampling import build_shadow_table
-from kanirenderer_tpu.ops.vertex import run_vertex_stage, triangle_setup
+from kanirenderer_tpu.ops.vertex import (run_vertex_stage,
+                                         run_vertex_stage_corners,
+                                         triangle_setup,
+                                         triangle_setup_corners)
 from kanirenderer_tpu.passes import overlay
 from kanirenderer_tpu.shade import forward
 
@@ -47,7 +50,8 @@ class FrameOutputs(NamedTuple):
 
 
 def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
-                        wireframe: bool, band_h: int | None = None,
+                        wireframe: bool, setup_planes=None,
+                        band_h: int | None = None,
                         y0=None):
     """Raster + varying interpolation; both backends return a PixelBuffer.
 
@@ -58,13 +62,20 @@ def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
 
     ``band_h``/``y0`` restrict output to screen rows [y0, y0+band_h) for
     the multi-chip row-band sharding path (parallel/mesh.py)."""
-    from kanirenderer_tpu.ops.interpolate import build_tri_records
+    from kanirenderer_tpu.ops.interpolate import (build_tri_records,
+                                                  build_tri_records_corners)
     if cfg.raster_backend == "pallas":
         from kanirenderer_tpu.ops import raster_pallas
-        records = build_tri_records(scene.tri_idx, scene.tri_mat,
-                                    vout.varyings, scene.mat_blk_base,
-                                    scene.mat_blk_w, scene.mat_tex_size,
-                                    setup=st.setup, extra=scene.tri_extra)
+        if setup_planes is not None:
+            # Corner-major path: one 73-column stack, no per-frame gathers.
+            records = build_tri_records_corners(vout.varyings, setup_planes,
+                                                scene.tri_extra)
+        else:
+            records = build_tri_records(scene.tri_idx, scene.tri_mat,
+                                        vout.varyings, scene.mat_blk_base,
+                                        scene.mat_blk_w, scene.mat_tex_size,
+                                        setup=st.setup,
+                                        extra=scene.tri_extra)
         return raster_pallas.rasterize_pixels(st, records, cfg,
                                               wireframe=wireframe,
                                               band_h=band_h, y0=y0)
@@ -164,9 +175,22 @@ def render_band(scene: Scene, state: FrameState,
         state.lights.directional.distance,
         state.lights.directional.shadow_scene_size)
 
-    vout = run_vertex_stage(scene, state.object_model, state.object_normal,
-                            view_proj, state.camera.position, state.lights,
-                            light_vp)
+    # Corner-major geometry (static tri_idx expansion at scene build)
+    # makes the whole geometry stage gather-free; hand-built scenes
+    # without corner planes use the vertex-major path.  The XLA oracle
+    # backend needs per-vertex varyings for its pixel gather, so it stays
+    # vertex-major.
+    use_corners = (scene.corner_pos.shape[0] > 0
+                   and cfg.raster_backend == "pallas")
+    if use_corners:
+        vout = run_vertex_stage_corners(
+            scene, state.object_model, state.object_normal, view_proj,
+            state.camera.position, state.lights, light_vp)
+    else:
+        vout = run_vertex_stage(scene, state.object_model,
+                                state.object_normal, view_proj,
+                                state.camera.position, state.lights,
+                                light_vp)
 
     # --- shadow pass (modes LitWithShadow/Debug, src/lib.rs:1721-1751) ---
     # A host-cached map — or, for LIT_SHADOW, the prebuilt PCF block
@@ -181,11 +205,18 @@ def render_band(scene: Scene, state: FrameState,
             "shadow_table is only valid for LIT_SHADOW without a raw map"
 
     def _fresh_shadow():
-        sh_setup = triangle_setup(
-            vout.light_clip, scene.tri_idx, scene.tri_valid,
-            cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
-            depth_bias_constant=cfg.shadow_bias_constant,
-            depth_bias_slope=cfg.shadow_bias_slope)
+        if use_corners:
+            sh_setup, _ = triangle_setup_corners(
+                vout.light_clip, scene.tri_valid,
+                cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
+                depth_bias_constant=cfg.shadow_bias_constant,
+                depth_bias_slope=cfg.shadow_bias_slope)
+        else:
+            sh_setup = triangle_setup(
+                vout.light_clip, scene.tri_idx, scene.tri_valid,
+                cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
+                depth_bias_constant=cfg.shadow_bias_constant,
+                depth_bias_slope=cfg.shadow_bias_slope)
         if shadow_axis is None or shadow_bands <= 1:
             return _rasterize_depth(sh_setup, cfg)
         assert cfg.shadow_dim % shadow_bands == 0, \
@@ -221,10 +252,17 @@ def render_band(scene: Scene, state: FrameState,
 
     # --- main raster + varying interpolation ---
     wireframe = mode == RenderMode.WIREFRAME
-    setup = triangle_setup(vout.clip, scene.tri_idx, scene.tri_valid,
-                           cfg.width, cfg.height,
-                           cull_backfaces=not wireframe)
+    if use_corners:
+        setup, setup_planes = triangle_setup_corners(
+            vout.clip, scene.tri_valid, cfg.width, cfg.height,
+            cull_backfaces=not wireframe)
+    else:
+        setup = triangle_setup(vout.clip, scene.tri_idx, scene.tri_valid,
+                               cfg.width, cfg.height,
+                               cull_backfaces=not wireframe)
+        setup_planes = None
     pix = _raster_interpolate(scene, vout, setup, cfg, wireframe,
+                              setup_planes=setup_planes,
                               band_h=band_h, y0=y0)
 
     # --- shading (channel-planar: color is (3, H, W)) ---

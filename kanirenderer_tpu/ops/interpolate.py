@@ -75,23 +75,35 @@ def build_tri_records(tri_idx: Array, tri_mat: Array, varyings: Array,
         base_lo = base - base_hi * 65536
         extra = jnp.stack([tri_mat, tw, th, base_hi, base_lo, bw],
                           axis=1).astype(jnp.float32)
-    head = [] if setup is None else [setup]
-    return jnp.concatenate(head + [r0, r1, r2, extra], axis=1)
+    if setup is None:
+        return jnp.concatenate([r0, r1, r2, extra], axis=1)
+    # Fat layout for the fused kernel's phase 2 (raster_pallas.FAT_LANES):
+    # varyings as (v0, v1−v0, v2−v0) so interpolation needs no per-pixel
+    # subtract, plus the lsum edge row (Σ edge coeffs — barycentric
+    # normalization is affine too) so phase 2 never evaluates l0.
+    lsum = setup[:, 0:3] + setup[:, 3:6] + setup[:, 6:9]
+    return jnp.concatenate([setup, r0, r1 - r0, r2 - r0, extra, lsum],
+                           axis=1)
 
 
 def build_tri_records_corners(varyings_c, setup_planes, tri_extra) -> Array:
-    """Fat (T, 16+3·USED+6) records from corner-major planes.
+    """Fat (T, FAT_LANES) records from corner-major planes.
 
     ``varyings_c``: 3 corners × USED (T,) planes (CornerOutputs.varyings);
     ``setup_planes``: the 16 masked setup columns from
     triangle_setup_corners; ``tri_extra``: planar (6, T) static material
-    lanes.  ONE 73-column stack — the whole record assembly is a single
-    relayout with no per-frame gathers anywhere.
+    lanes.  ONE 76-column stack — the whole record assembly is a single
+    relayout with no per-frame gathers anywhere.  Same delta/lsum layout
+    as build_tri_records(setup=·) above.
     """
-    cols = list(setup_planes)
-    for k in range(3):
-        cols.extend(varyings_c[k][:USED])
+    sp = setup_planes
+    v0, v1, v2 = (varyings_c[k][:USED] for k in range(3))
+    cols = list(sp)
+    cols.extend(v0)
+    cols.extend(b - a for a, b in zip(v0, v1))
+    cols.extend(b - a for a, b in zip(v0, v2))
     cols.extend(tri_extra[i] for i in range(6))
+    cols.extend(sp[i] + sp[3 + i] + sp[6 + i] for i in range(3))
     return jnp.stack(cols, axis=1)
 
 

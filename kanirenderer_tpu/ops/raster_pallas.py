@@ -64,11 +64,14 @@ _BIG = float("inf")
 #    rows, reshaped (free) + run-tail padded (cheap row concat);
 #  * fat  (C, CHUNK, FAT_LANES): phase-2 interpolation — records from
 #    interpolate.build_tri_records(..., setup=·):
-#    [setup 0:16 | v0 varyings 16:33 | v1 33:50 | v2 50:67 |
-#     mat, tex_w, tex_h, blk_hi, blk_lo, blk_w 67:73]
+#    [setup 0:16 | v0 varyings 16:33 | v1−v0 33:50 | v2−v0 50:67 |
+#     mat, tex_w, tex_h, blk_hi, blk_lo, blk_w 67:73 | lsum row 73:76]
+#    (varying DELTAS kill the per-pixel subtracts; the lsum edge row —
+#    barycentric normalization is affine too — kills the l0 evaluation.)
 REC0 = NS                 # 16
 PAR0 = REC0 + 3 * USED    # 67
-FAT_LANES = PAR0 + 6      # 73 — matches build_tri_records(setup=·) width
+LSUM0 = PAR0 + 6          # 73
+FAT_LANES = LSUM0 + 3     # 76 — matches build_tri_records(setup=·) width
 
 
 def _interpret() -> bool:
@@ -566,19 +569,16 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
             lut = jnp.broadcast_to(ct[c][None, :], (tile_h, tile_w))
             return jnp.take_along_axis(lut, local, axis=1)
 
-        l0 = g(0) * X + g(1) * Y + g(2)
         l1 = g(3) * X + g(4) * Y + g(5)
         l2 = g(6) * X + g(7) * Y + g(8)
-        lsum = l0 + l1 + l2
+        lsum = g(LSUM0) * X + g(LSUM0 + 1) * Y + g(LSUM0 + 2)
         lsafe = jnp.where(lsum != 0.0, lsum, 1e-30)
         w1 = l1 / lsafe
         w2 = l2 / lsafe
 
         for c in range(USED):
-            v0 = g(REC0 + c)
-            v1 = g(REC0 + USED + c)
-            v2 = g(REC0 + 2 * USED + c)
-            val = v0 + (v1 - v0) * w1 + (v2 - v0) * w2
+            val = (g(REC0 + c) + g(REC0 + USED + c) * w1
+                   + g(REC0 + 2 * USED + c) * w2)
             vary_ref[c] = jnp.where(mask, val, vary_ref[c])
 
         mat_ref[:] = jnp.where(mask, g(PAR0).astype(jnp.int32),

@@ -195,23 +195,25 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     # together, pack them and sort a SINGLE array — the bitonic sort's
     # data movement halves vs a key+payload co-sort.
     nsb = SUBS_PER_CHUNK
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
     if _PACK_SORT and nsb <= 8 and num_tiles * C <= (2**31 - 2) >> nsb:
         packed_key = jnp.where(valid_slot, key * (1 << nsb) + mexp,
                                _SENTINEL)
         skey_p = jnp.sort(packed_key.reshape(-1))       # (C*S,)
-        is_pad = skey_p == _SENTINEL
-        skey = jnp.where(is_pad, _SENTINEL, skey_p >> nsb)
-        smask = jnp.where(is_pad, 0, skey_p & ((1 << nsb) - 1))
-        schunk = jnp.where(is_pad, -1, skey % C)
+        # The mask bits are LOW bits, so packed order == key order: range
+        # searches use scaled boundaries, and the dense list build below
+        # gathers the packed array ONCE (chunk id + mask unpack after the
+        # gather) instead of gathering two unpacked copies.
+        starts = jnp.searchsorted(skey_p, tids * (C << nsb))
+        ends = jnp.searchsorted(skey_p, (tids + 1) * (C << nsb))
+        spacked = skey_p
     else:
         skey, smask = jax.lax.sort((key.reshape(-1), mexp.reshape(-1)),
                                    num_keys=1)          # (C*S,)
         schunk = jnp.where(skey == _SENTINEL, -1, skey % C)
-
-    # --- per-tile ranges ---
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(skey, tids * C)
-    ends = jnp.searchsorted(skey, (tids + 1) * C)
+        starts = jnp.searchsorted(skey, tids * C)
+        ends = jnp.searchsorted(skey, (tids + 1) * C)
+        spacked = None
     counts = jnp.minimum(ends - starts, K).astype(jnp.int32)
     tile_dropped = jnp.maximum(ends - starts - K, 0).sum()
 
@@ -227,8 +229,14 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     slot_l = jnp.arange(L, dtype=jnp.int32)[None, :]    # (1, L)
     in_local = slot_l < counts[:, None]
     local_idx = jnp.clip(starts[:, None] + slot_l, 0, C * S - 1)
-    local_val = schunk[local_idx]
-    local_msk = smask[local_idx]
+    if spacked is not None:
+        pk = spacked[local_idx]
+        pad = pk == _SENTINEL
+        local_val = jnp.where(pad, -1, (pk >> nsb) % C)
+        local_msk = jnp.where(pad, 0, pk & ((1 << nsb) - 1))
+    else:
+        local_val = schunk[local_idx]
+        local_msk = smask[local_idx]
     gslot = jnp.clip(slot_l - counts[:, None], 0, G - 1)
     gval = gids[gslot]
     in_glob = (slot_l >= counts[:, None]) & (slot_l < counts[:, None] + gcount)

@@ -46,8 +46,17 @@ assert 1 <= RUN_CHUNKS <= 8
 SUBBATCH = int(_os.environ.get("KANI_SUBBATCH", "16"))
 assert CHUNK_SIZE % SUBBATCH == 0, "SUBBATCH must divide CHUNK_SIZE"
 SUBS_PER_CHUNK = CHUNK_SIZE // SUBBATCH
-assert RUN_CHUNKS * SUBS_PER_CHUNK <= 32, \
-    "run mask must fit an int32 (RUN_CHUNKS x CHUNK_SIZE/SUBBATCH bits)"
+# Clip-free chunk fast path (KANI_CLIPFREE=1): a triangle is clip-free
+# iff every vertex has z ∈ [0, w] — zw and ww−zw are affine over the
+# triangle so their minima sit at vertices — and coverage only accepts
+# in-triangle pixels, so for chunks of clip-free triangles the kernel's
+# coverage test drops the two depth-clip terms exactly.  The per-run
+# mask fields widen from SUBS_PER_CHUNK to SUBS_PER_CHUNK+1 bits (top
+# bit = chunk is clip-free).
+CLIPFREE = _os.environ.get("KANI_CLIPFREE", "0") == "1"
+MASK_BITS = SUBS_PER_CHUNK + (1 if CLIPFREE else 0)
+assert RUN_CHUNKS * MASK_BITS <= 32, \
+    "run mask must fit an int32 (RUN_CHUNKS x MASK_BITS bits)"
 
 
 class RenderMode(enum.IntEnum):

@@ -30,7 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from kanirenderer_tpu.core.types import (CHUNK_SIZE, RUN_CHUNKS, SUBBATCH,
+from kanirenderer_tpu.core.types import (CHUNK_SIZE, CLIPFREE, MASK_BITS,
+                                         RUN_CHUNKS, SUBBATCH,
                                          SUBS_PER_CHUNK)
 
 Array = jnp.ndarray
@@ -70,13 +71,14 @@ def _pack_runs(lists: Array, masks: Array, num_tiles: int) -> Array:
     subbatch masks → packed run lists with per-run masks.
 
     Runs of ≤ RUN_CHUNKS *consecutive* chunk ids collapse to one entry
-    ``cid0·16 + len``; the run's mask ORs the member chunks' subbatch
-    bits shifted by SUBS_PER_CHUNK per chunk.  All dense vector work:
-    break detection, a cummax-based position-within-run, run-length via
-    shifted stop flags, and one row-wise key+payload sort to compact run
-    starts to a dense prefix."""
+    ``cid0·16 + len``; the run's mask ORs the member chunks' MASK_BITS-wide
+    fields (subbatch bits + optional clip-free top bit) shifted by
+    MASK_BITS per chunk.  All dense vector work: break detection, a
+    cummax-based position-within-run, run-length via shifted stop flags,
+    and one row-wise key+payload sort to compact run starts to a dense
+    prefix."""
     R = RUN_CHUNKS
-    NSB = SUBS_PER_CHUNK
+    NSB = MASK_BITS
     L = lists.shape[1]
     valid = lists >= 0
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -121,9 +123,15 @@ def _pack_runs(lists: Array, masks: Array, num_tiles: int) -> Array:
 def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
                tile_h: int, max_tiles_per_chunk: int = 16,
                max_chunks_per_tile: int = 256,
-               max_global_chunks: int = 256) -> TileBins:
+               max_global_chunks: int = 256,
+               clipfree: Array | None = None) -> TileBins:
     """bbox: (T, 4) f32 per-triangle pixel bounds from triangle_setup
-    (invalid triangles carry empty boxes)."""
+    (invalid triangles carry empty boxes).
+
+    ``clipfree``: optional (T,) bool (TriangleSetup.clipfree).  Under
+    KANI_CLIPFREE=1 each packed mask field carries the chunk-level AND as
+    its top bit (bit SUBS_PER_CHUNK), steering the kernels' fast coverage
+    path."""
     T = bbox.shape[0]
     C = T // CHUNK_SIZE
     S = max_tiles_per_chunk
@@ -188,13 +196,20 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     # subbatch masks ride the sort as a payload
     mexp = subbatch_bits(txi, tyi, sx0[:, None], sy0[:, None],
                          sx1[:, None], sy1[:, None])
+    if CLIPFREE and clipfree is not None:
+        # chunk-level AND of the per-triangle flags → mask field top bit
+        cf_bit = (clipfree.reshape(C, CHUNK_SIZE).all(axis=-1)
+                  .astype(jnp.int32) << SUBS_PER_CHUNK)
+        mexp = mexp | cf_bit[:, None]
+    else:
+        cf_bit = None
     mexp = jnp.where(valid_slot, mexp, 0)
 
     # The (tile, chunk) key needs ⌈log2(num_tiles·C)⌉ bits and the
-    # subbatch mask SUBS_PER_CHUNK more; when they fit one int32
-    # together, pack them and sort a SINGLE array — the bitonic sort's
-    # data movement halves vs a key+payload co-sort.
-    nsb = SUBS_PER_CHUNK
+    # mask field MASK_BITS more; when they fit one int32 together, pack
+    # them and sort a SINGLE array — the bitonic sort's data movement
+    # halves vs a key+payload co-sort.
+    nsb = MASK_BITS
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     if _PACK_SORT and nsb <= 8 and num_tiles * C <= (2**31 - 2) >> nsb:
         packed_key = jnp.where(valid_slot, key * (1 << nsb) + mexp,
@@ -249,6 +264,8 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     gmask = subbatch_bits((tids % tiles_x)[:, None], (tids // tiles_x)[:, None],
                           sx0[gc][None], sy0[gc][None],
                           sx1[gc][None], sy1[gc][None])   # (num_tiles, G)
+    if cf_bit is not None:
+        gmask = gmask | cf_bit[gc][None]
     gmask_l = jnp.take_along_axis(gmask, gslot, axis=1)
     masks = jnp.where(in_local, local_msk,
                       jnp.where(in_glob, gmask_l, 0))
@@ -265,7 +282,9 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     # keep the bbox-overlap semantics their consumers/tests expect.
     # KANI_MASK_PRUNE=0 disables for A/B measurement.)
     if _MASK_PRUNE:
-        keep = masks != 0
+        # Prune on the SUBBATCH bits only — a set clip-free top bit alone
+        # must not keep an entry no subbatch of which overlaps the tile.
+        keep = (masks & ((1 << SUBS_PER_CHUNK) - 1)) != 0
         plists = jnp.where(keep, lists, -1)
         pmasks = jnp.where(keep, masks, 0)
     else:

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kanirenderer_tpu.core.types import (CHUNK_SIZE, RUN_CHUNKS, SUBBATCH,
+from kanirenderer_tpu.core.types import (CHUNK_SIZE, CLIPFREE, MASK_BITS,
+                                         RUN_CHUNKS, SUBBATCH,
                                          SUBS_PER_CHUNK, RenderConfig)
 from kanirenderer_tpu.ops import binning
 from kanirenderer_tpu.ops.interpolate import USED, PixelBuffer
@@ -51,6 +52,24 @@ FUSED_PHASE = _os.environ.get("KANI_FUSED_PHASE", "full")
 # Measurement-only: 1 restores the redundant `& (ww > 0)` coverage term
 # (see eval_subbatch) for A/B.
 COVER_WW = _os.environ.get("KANI_COVER_WW", "0") == "1"
+# Clip-free chunks (KANI_CLIPFREE=1, core/types.py): the binner's per-run
+# mask fields widen to MASK_BITS with a top bit that certifies every
+# triangle of the chunk passes the depth clip at every covered pixel
+# (ops/vertex.py TriangleSetup.clipfree).  The main run loop then drops
+# the two clip terms from coverage (q over 3 edges instead of 5 planes,
+# −3 VPU ops/triangle·tile) and skips non-certified chunks; a second,
+# unpipelined pass sweeps those rare chunks with the full test.
+assert not (CLIPFREE and not SUBBATCH_SKIP), \
+    "KANI_CLIPFREE=1 requires KANI_SUBBATCH_SKIP=1 (mask bits drive it)"
+
+
+def _mk_bits(mask, k):
+    """(subbatch bits, clip-free bit) of run-chunk ``k`` from the packed
+    per-run mask.  ``k`` may be traced (the slow-pass chunk loop)."""
+    mk = (mask >> (MASK_BITS * k)) % (1 << MASK_BITS)
+    if CLIPFREE:
+        return mk % (1 << SUBS_PER_CHUNK), mk >> SUBS_PER_CHUNK
+    return mk, None
 # >128-triangle chunks break the phase-2 128-lane LUT.
 assert CHUNK_SIZE <= 128, \
     f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be at most 128"
@@ -142,7 +161,7 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
     Yc = ty0f + 0.5 + jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, 1), 0).astype(jnp.float32)      # (H, 1)
 
-    def eval_subbatch(rows, cid, b):
+    def eval_subbatch(rows, cid, b, fast=False):
         """Edge/depth evaluation of SUBBATCH triangles over the tile.
 
         Division-free inner loop: depth stays as the rational zw/ww until
@@ -153,6 +172,9 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
         five planes per triangle come from small (SUB, W)/(H, SUB)
         precomputations + one broadcast add each (no 3D intermediates,
         whose k-extraction Mosaic lowers as copies).
+
+        ``fast``: the chunk is certified clip-free — coverage is the three
+        edge terms only (the clip terms are implied; see _mk_bits).
         """
         cols = ((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11), (12, 13, 14))
         lxs = [rows[:, c0][:, None] * Xr + rows[:, c2][:, None]
@@ -175,8 +197,9 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
             # cross-multiplied compare and fails the final wvalid —
             # dropping the extra compare+and saves 2 full-tile VPU ops
             # per triangle.
-            q = jnp.minimum(jnp.minimum(jnp.minimum(l0, l1), l2),
-                            jnp.minimum(zw, ww - zw))
+            q = jnp.minimum(jnp.minimum(l0, l1), l2)
+            if not fast:
+                q = jnp.minimum(q, jnp.minimum(zw, ww - zw))
             covered = (q >= 0.0) & (ww > 0.0) if COVER_WW else q >= 0.0
             if wireframe:
                 d = jnp.minimum(jnp.minimum(l0 * gs[0][k:k + 1],
@@ -235,8 +258,13 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
         for k in range(RUN_CHUNKS):
             # Precomputed subbatch overlap bits make the skip a pure
             # scalar branch (no vector reduce + scalar-core sync).
-            mk = (mask >> (SUBS_PER_CHUNK * k)) % (1 << SUBS_PER_CHUNK)
-            guard_k = mk > 0 if SUBBATCH_SKIP else k < ln
+            mk, cf = _mk_bits(mask, k)
+            if not SUBBATCH_SKIP:
+                guard_k = k < ln
+            elif CLIPFREE:
+                guard_k = (cf > 0) & (mk > 0)
+            else:
+                guard_k = mk > 0
 
             @pl.when(guard_k)
             def _(k=k, mk=mk):
@@ -251,10 +279,52 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
 
                     @pl.when((mk >> b) % 2 > 0)
                     def _(rows=rows, cid=cid, b=b):
-                        eval_subbatch(rows, cid, b)
+                        eval_subbatch(rows, cid, b, fast=CLIPFREE)
         return 0
 
     jax.lax.fori_loop(0, count, run_body, 0)
+
+    if CLIPFREE:
+        # Slow pass: chunks the binner could not certify clip-free (rare —
+        # near-plane crossers and z>w overshoots).  Unpipelined: one run
+        # DMA into slot 0 only when a run actually contains one, then a
+        # traced chunk loop (single eval_subbatch expansion per subbatch
+        # position instead of RUN_CHUNKS copies).
+        def slow_body(s, _):
+            entry = get_entry(s)
+            cid0 = entry // 16
+            mask = get_mask(s)
+            need = None
+            for k in range(RUN_CHUNKS):
+                mk, cf = _mk_bits(mask, k)
+                nk = (cf == 0) & (mk > 0)
+                need = nk if need is None else need | nk
+
+            @pl.when(need)
+            def _():
+                d = dma(0, cid0)
+                d.start()
+                d.wait()
+
+                def chunk_body(k, _):
+                    mk, cf = _mk_bits(mask, k)
+
+                    @pl.when((cf == 0) & (mk > 0))
+                    def _():
+                        chunk = chunk_buf[0, k]
+                        cid = cid0 + k
+                        for b in range(SUBS_PER_CHUNK):
+                            rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
+
+                            @pl.when((mk >> b) % 2 > 0)
+                            def _(rows=rows, b=b):
+                                eval_subbatch(rows, cid, b)
+                    return 0
+
+                jax.lax.fori_loop(0, RUN_CHUNKS, chunk_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, count, slow_body, 0)
 
 
 def _run(setup: Array, bins: binning.TileBins,
@@ -321,7 +391,7 @@ def rasterize(st: TriangleSetup, config: RenderConfig,
     bins = binning.bin_chunks(
         st.bbox, cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h,
         cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
-        cfg.max_global_chunks)
+        cfg.max_global_chunks, clipfree=st.clipfree)
     z, tri, b1, b2 = _run(st.setup, bins, cfg.width, cfg.height, cfg.tile_w,
                           cfg.tile_h, wireframe, cfg.wire_thresh_px, False)
     H, W = cfg.height, cfg.width
@@ -393,7 +463,7 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     Xr = X[0:1, :]                                          # (1, W)
     Yc = Y[:, 0:1]                                          # (H, 1)
 
-    def eval_subbatch(rows, cid, b):
+    def eval_subbatch(rows, cid, b, fast=False):
         cols = ((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11), (12, 13, 14))
         lxs = [rows[:, c0][:, None] * Xr + rows[:, c2][:, None]
                for (c0, _, c2) in cols]                      # (SUB, W) each
@@ -412,9 +482,10 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
             # enters the tournament as (zw_c, ww_c=0), which loses every
             # cross-multiplied compare and fails the final wvalid —
             # dropping the extra compare+and saves 2 full-tile VPU ops
-            # per triangle.
-            q = jnp.minimum(jnp.minimum(jnp.minimum(l0, l1), l2),
-                            jnp.minimum(zw, ww - zw))
+            # per triangle.  ``fast``: clip-free chunk, edge terms only.
+            q = jnp.minimum(jnp.minimum(l0, l1), l2)
+            if not fast:
+                q = jnp.minimum(q, jnp.minimum(zw, ww - zw))
             covered = (q >= 0.0) & (ww > 0.0) if COVER_WW else q >= 0.0
             if wireframe:
                 d = jnp.minimum(jnp.minimum(l0 * gs[0][k:k + 1],
@@ -458,8 +529,13 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         for k in range(RUN_CHUNKS):
             # Precomputed subbatch overlap bits make the skip a pure
             # scalar branch (no vector reduce + scalar-core sync).
-            mk = (mask >> (SUBS_PER_CHUNK * k)) % (1 << SUBS_PER_CHUNK)
-            guard_k = mk > 0 if SUBBATCH_SKIP else k < ln
+            mk, cf = _mk_bits(mask, k)
+            if not SUBBATCH_SKIP:
+                guard_k = k < ln
+            elif CLIPFREE:
+                guard_k = (cf > 0) & (mk > 0)
+            else:
+                guard_k = mk > 0
 
             @pl.when(guard_k)
             def _(k=k, mk=mk):
@@ -474,10 +550,48 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
 
                     @pl.when((mk >> b) % 2 > 0)
                     def _(rows=rows, cid=cid, b=b):
-                        eval_subbatch(rows, cid, b)
+                        eval_subbatch(rows, cid, b, fast=CLIPFREE)
         return 0
 
     jax.lax.fori_loop(0, count, run_body, 0)
+
+    if CLIPFREE:
+        # Slow pass for non-clip-free chunks — see _raster_kernel.
+        def slow_body(s, _):
+            entry = get_entry(s)
+            cid0 = entry // 16
+            mask = get_mask(s)
+            need = None
+            for k in range(RUN_CHUNKS):
+                mk, cf = _mk_bits(mask, k)
+                nk = (cf == 0) & (mk > 0)
+                need = nk if need is None else need | nk
+
+            @pl.when(need)
+            def _():
+                d = dma(0, cid0)
+                d.start()
+                d.wait()
+
+                def chunk_body(k, _):
+                    mk, cf = _mk_bits(mask, k)
+
+                    @pl.when((cf == 0) & (mk > 0))
+                    def _():
+                        chunk = chunk_buf[0, k]
+                        cid = cid0 + k
+                        for b in range(SUBS_PER_CHUNK):
+                            rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
+
+                            @pl.when((mk >> b) % 2 > 0)
+                            def _(rows=rows, b=b):
+                                eval_subbatch(rows, cid, b)
+                    return 0
+
+                jax.lax.fori_loop(0, RUN_CHUNKS, chunk_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, count, slow_body, 0)
 
     # ---- phase 2: winner-chunk record interpolation ----
     for c in range(USED):
@@ -673,7 +787,7 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
     bins = binning.bin_chunks(
         bbox, cfg.tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
         cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
-        cfg.max_global_chunks)
+        cfg.max_global_chunks, clipfree=st.clipfree)
     C = setup.shape[0] // CHUNK_SIZE
     # Slim phase-1 rows: reshape (free) + run-tail pad (cheap row concat).
     setup_c = jnp.pad(setup.reshape(C, CHUNK_SIZE, NS),
@@ -715,7 +829,7 @@ def rasterize_depth(st: TriangleSetup, config: RenderConfig,
     bins = binning.bin_chunks(
         bbox, tiles_x, tiles_y, cfg.tile_w, th,
         cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
-        cfg.max_global_chunks)
+        cfg.max_global_chunks, clipfree=st.clipfree)
     (z,) = _run(setup, bins, dim, H, cfg.tile_w, th,
                 False, 0.0, True)
     return z[:H, :dim]

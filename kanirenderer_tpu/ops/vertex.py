@@ -204,6 +204,10 @@ def run_vertex_stage_corners(scene, object_model: Array,
 class TriangleSetup(NamedTuple):
     setup: Array   # (T, NS) f32
     bbox: Array    # (T, 4) f32 — (x0, y0, x1, y1) pixel bounds, inclusive-exclusive
+    clipfree: Array = None  # (T,) bool — every covered pixel passes the
+    #                depth clip exactly (see _setup_from_corner_planes), so
+    #                the raster kernels may drop the two clip terms from
+    #                the coverage test for chunks of clip-free triangles
 
 
 def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
@@ -303,6 +307,7 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
     zrow = tuple(r0[j] * z[0] + r1[j] * z[1] + r2[j] * z[2] for j in range(3))
     wrow = tuple(r0[j] * w[0] + r1[j] * w[1] + r2[j] * w[2] for j in range(3))
 
+    bias = None
     if depth_bias_constant or depth_bias_slope:
         # Affine z gradient in pixels: z(p) = zrow·p / wrow·p; for the ortho
         # shadow pass w is constant so dz = (zrow.xy - z*wrow.xy)/ww ≈
@@ -313,6 +318,18 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
         bias = depth_bias_slope * max_slope \
             + depth_bias_constant * (2.0 ** -23)
         zrow = tuple(zrow[j] + wrow[j] * bias for j in range(3))
+
+    # Clip-free flag: zw(p) = Σ l_i·z_i and ww(p) − zw(p) = Σ l_i·(w_i−z_i)
+    # with all l_i ≥ 0 at covered pixels, so if every (bias-shifted) vertex
+    # has z ∈ [0, w] then every covered pixel passes the depth clip — a
+    # pure sign argument, exact for external triangles too.  The raster
+    # kernels use the per-chunk AND of this to drop the clip terms from
+    # coverage (KANI_CLIPFREE).  Invalid rows carry l0 ≡ −1 (below) and
+    # are never covered, so they count as clip-free — keeping tail-padded
+    # chunks on the fast path.
+    zb = z if bias is None else tuple(z[k] + w[k] * bias for k in range(3))
+    clipfree = all3(lambda k: (zb[k] >= 0.0) & (w[k] - zb[k] >= 0.0)) \
+        | ~valid
 
     # Screen bbox of the VISIBLE portion.  External (near-plane-crossing)
     # triangles would project to unbounded regions, so the bbox — and only
@@ -375,4 +392,4 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
               vf]
     setup = jnp.stack(planes, axis=1)           # (T, NS)
     bbox = jnp.stack([x0, y0, x1, y1], axis=1)
-    return TriangleSetup(setup=setup, bbox=bbox), planes
+    return TriangleSetup(setup=setup, bbox=bbox, clipfree=clipfree), planes

@@ -780,9 +780,11 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
         cols = jnp.array([2, 5, 8, 11, 14])
         setup = setup.at[:, cols].add(setup[:, cols - 1] * y0f)
         bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
-        # The records' leading setup lanes feed phase-2's barycentric
-        # recompute — re-anchor them identically.
-        records = records.at[:, cols].add(records[:, cols - 1] * y0f)
+        # The records' leading setup lanes AND the lsum edge row (lanes
+        # LSUM0:LSUM0+3 — it is a plane too) feed phase-2's barycentric
+        # recompute — re-anchor their constant lanes identically.
+        rcols = jnp.array([2, 5, 8, 11, 14, LSUM0 + 2])
+        records = records.at[:, rcols].add(records[:, rcols - 1] * y0f)
     tiles_y = -(-band_h // cfg.tile_h)
     bins = binning.bin_chunks(
         bbox, cfg.tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,

@@ -9,7 +9,7 @@ visibility-buffer tile kernel:
   triangle setup rows (ops/vertex.py) are DMA'd HBM→VMEM double-buffered,
   so edge evaluation overlaps the next chunk's fetch;
 * per chunk, triangles are evaluated SUBBATCH at a time against the whole
-  tile on the VPU (edge functions l_i = a·x + b·y + c, depth z = zw/ww),
+  tile on the VPU (edge functions l_i = a·x + b·y + c, screen-affine depth z),
   then z-argmin-merged into the tile's VMEM z/tri/bary accumulators;
 * outputs are written once per tile: the visibility buffer {tri, z, λ1, λ2}
   that shade/ consumes densely.
@@ -49,9 +49,6 @@ SUBBATCH_SKIP = _os.environ.get("KANI_SUBBATCH_SKIP", "1") != "0"
 # | "p1c" (p1 + winner compaction, no interpolation DMA/loop).  Non-default
 # values produce wrong images — bench instrumentation only.
 FUSED_PHASE = _os.environ.get("KANI_FUSED_PHASE", "full")
-# Measurement-only: 1 restores the redundant `& (ww > 0)` coverage term
-# (see eval_subbatch) for A/B.
-COVER_WW = _os.environ.get("KANI_COVER_WW", "0") == "1"
 # Clip-free chunks (KANI_CLIPFREE=1, core/types.py): the binner's per-run
 # mask fields widen to MASK_BITS with a top bit that certifies every
 # triangle of the chunk passes the depth clip at every covered pixel
@@ -73,7 +70,6 @@ def _mk_bits(mask, k):
 # >128-triangle chunks break the phase-2 128-lane LUT.
 assert CHUNK_SIZE <= 128, \
     f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be at most 128"
-_BIG = float("inf")
 
 # The kernels read two per-chunk HBM arrays (no packed super-array: the
 # old 128-lane setup_c assembly was a measured ~6-7 ms XLA relayout floor
@@ -164,19 +160,21 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
     def eval_subbatch(rows, cid, b, fast=False):
         """Edge/depth evaluation of SUBBATCH triangles over the tile.
 
-        Division-free inner loop: depth stays as the rational zw/ww until
-        a single per-pixel divide after the in-batch tournament.  The
-        cross-multiplied compare ``zw_a·ww_b < zw_b·ww_a`` is exact enough
-        (scale-invariant relative error) and saves ~8 divides per
-        pixel·batch.  All per-pixel values stay 2D (tile_h, tile_w): the
-        five planes per triangle come from small (SUB, W)/(H, SUB)
-        precomputations + one broadcast add each (no 3D intermediates,
-        whose k-extraction Mosaic lowers as copies).
+        Depth is the screen-AFFINE NDC z plane (setup col 9:12 — the
+        adjugate construction makes the interpolated w constant per
+        triangle, ops/vertex.py), so the in-batch tournament is a plain
+        running min (depth-only) or one compare + selects: no rational
+        cross-multiplies, no divides.  All per-pixel values stay 2D
+        (tile_h, tile_w): the four planes per triangle come from small
+        (SUB, W)/(H, SUB) precomputations + one broadcast add each (no 3D
+        intermediates, whose k-extraction Mosaic lowers as copies).
+        Uncovered pixels carry z = 2.0, which loses against z_ref (init
+        1.0) automatically.
 
         ``fast``: the chunk is certified clip-free — coverage is the three
-        edge terms only (the clip terms are implied; see _mk_bits).
+        edge terms only (the z ∈ [0, 1] clip is implied; see _mk_bits).
         """
-        cols = ((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11), (12, 13, 14))
+        cols = ((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11))
         lxs = [rows[:, c0][:, None] * Xr + rows[:, c2][:, None]
                for (c0, _, c2) in cols]                      # (SUB, W) each
         lys = [Yc * rows[:, c1][None, :] for (_, c1, _) in cols]  # (H, SUB)
@@ -187,56 +185,51 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
 
         entries = []
         for k in range(SUBBATCH):
-            l0, l1, l2, zw, ww = [
-                lxs[t][k:k + 1, :] + lys[t][:, k:k + 1] for t in range(5)]
-            # (the depth-range clip without division; invalid rows are
-            # all-zero → ww = 0).
-            # covered ⇔ q ≥ 0 alone: zw ≥ 0 ∧ ww−zw ≥ 0 already imply
-            # ww ≥ 0, and the ww = 0 degenerate (all-zero invalid rows)
-            # enters the tournament as (zw_c, ww_c=0), which loses every
-            # cross-multiplied compare and fails the final wvalid —
-            # dropping the extra compare+and saves 2 full-tile VPU ops
-            # per triangle.
+            l0, l1, l2, z = [
+                lxs[t][k:k + 1, :] + lys[t][:, k:k + 1] for t in range(4)]
+            # Invalid rows carry e0.c ≡ −1 (l0 < 0 everywhere) → never
+            # covered; no separate validity term.
             q = jnp.minimum(jnp.minimum(l0, l1), l2)
             if not fast:
-                q = jnp.minimum(q, jnp.minimum(zw, ww - zw))
-            covered = (q >= 0.0) & (ww > 0.0) if COVER_WW else q >= 0.0
+                q = jnp.minimum(q, jnp.minimum(z, 1.0 - z))
+            covered = q >= 0.0
             if wireframe:
                 d = jnp.minimum(jnp.minimum(l0 * gs[0][k:k + 1],
                                             l1 * gs[1][k:k + 1]),
                                 l2 * gs[2][k:k + 1])
                 covered = covered & (d <= wire_thresh)
 
-            # Tournament entries: covered fragments as (zw, ww>0);
-            # invalid ones as (1, 0) which loses every cross-multiply
-            # compare.
-            zw_c = jnp.where(covered, zw, 1.0)
-            ww_c = jnp.where(covered, ww, 0.0)
+            z_c = jnp.where(covered, z, 2.0)
             if depth_only:
-                entries.append((zw_c, ww_c))
+                entries.append(z_c)
             else:
-                entries.append((zw_c, ww_c, jnp.full_like(zw_c, float(k)),
+                entries.append((z_c, jnp.full_like(z_c, float(k)),
                                 l1, l2, l0 + l1 + l2))
 
-        def merge(a, bt):
-            take_b = bt[0] * a[1] < a[0] * bt[1]
-            return tuple(jnp.where(take_b, fb, fa)
-                         for fa, fb in zip(a, bt))
+        if depth_only:
+            while len(entries) > 1:
+                entries = [jnp.minimum(entries[k], entries[k + 1])
+                           for k in range(0, len(entries), 2)]
+            win_z = entries[0]
+        else:
+            def merge(a, bt):
+                take_b = bt[0] < a[0]
+                return tuple(jnp.where(take_b, fb, fa)
+                             for fa, fb in zip(a, bt))
 
-        while len(entries) > 1:
-            entries = [merge(entries[k], entries[k + 1])
-                       for k in range(0, len(entries), 2)]
-        win = entries[0]
+            while len(entries) > 1:
+                entries = [merge(entries[k], entries[k + 1])
+                           for k in range(0, len(entries), 2)]
+            win = entries[0]
+            win_z = win[0]
 
-        wvalid = win[1] > 0.0
-        z = win[0] / jnp.where(wvalid, win[1], 1.0)
-        hit = wvalid & (z < z_ref[:])
-        z_ref[:] = jnp.where(hit, z, z_ref[:])
+        hit = win_z < z_ref[:]
+        z_ref[:] = jnp.where(hit, win_z, z_ref[:])
         if not depth_only:
-            rid = win[2].astype(jnp.int32)
-            lsum_w = jnp.where(win[5] != 0.0, win[5], 1e-30)
-            w1 = win[3] / lsum_w
-            w2 = win[4] / lsum_w
+            rid = win[1].astype(jnp.int32)
+            lsum_w = jnp.where(win[4] != 0.0, win[4], 1e-30)
+            w1 = win[2] / lsum_w
+            w2 = win[3] / lsum_w
             tid = cid * CHUNK_SIZE + b * SUBBATCH + rid
             tri_ref[:] = jnp.where(hit, tid, tri_ref[:])
             b1_ref[:] = jnp.where(hit, w1, b1_ref[:])
@@ -334,7 +327,11 @@ def _run(setup: Array, bins: binning.TileBins,
     tiles_y, tiles_x, L = bins.tile_lists.shape
     C = setup.shape[0] // CHUNK_SIZE
     # RUN_CHUNKS-1 zero tail chunks keep the fixed-size run DMA in-bounds
-    # for runs starting near the end (zero rows are invalid: ww = 0).
+    # for runs starting near the end.  NOTE: all-zero pad rows would pass
+    # the affine-z coverage test (q = 0 ≥ 0 at z = 0), but pad chunks are
+    # never EVALUATED — they are not members of any packed run, so their
+    # per-run mask bits are 0 and the subbatch guards skip them.  (Invalid
+    # rows inside real chunks carry e0.c = −1 → never covered.)
     # The reshape is free and the row-pad a cheap major-dim concat; the
     # NS-lane minor dim is padded to 128 by the physical (8, 128) tiling,
     # so per-run DMA slices stay tile-aligned with no explicit lane pad.
@@ -407,7 +404,7 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     """Raster + interpolate in one pass over the tile's run list.
 
     Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
-    (zw, ww, rid) payload over the tile's RUN list (one DMA per ≤
+    (z, rid) payload over the tile's RUN list (one DMA per ≤
     RUN_CHUNKS consecutive chunks); the winner is stored as its GLOBAL
     triangle id (cid·CHUNK + local) so phase 2 can find its chunk.
 
@@ -464,7 +461,8 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     Yc = Y[:, 0:1]                                          # (H, 1)
 
     def eval_subbatch(rows, cid, b, fast=False):
-        cols = ((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11), (12, 13, 14))
+        # Affine-z tournament — see _raster_kernel.eval_subbatch.
+        cols = ((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11))
         lxs = [rows[:, c0][:, None] * Xr + rows[:, c2][:, None]
                for (c0, _, c2) in cols]                      # (SUB, W) each
         lys = [Yc * rows[:, c1][None, :] for (_, c1, _) in cols]  # (H, SUB)
@@ -475,29 +473,24 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
 
         entries = []
         for k in range(SUBBATCH):
-            l0, l1, l2, zw, ww = [
-                lxs[t][k:k + 1, :] + lys[t][:, k:k + 1] for t in range(5)]
-            # covered ⇔ q ≥ 0 alone: zw ≥ 0 ∧ ww−zw ≥ 0 already imply
-            # ww ≥ 0, and the ww = 0 degenerate (all-zero invalid rows)
-            # enters the tournament as (zw_c, ww_c=0), which loses every
-            # cross-multiplied compare and fails the final wvalid —
-            # dropping the extra compare+and saves 2 full-tile VPU ops
-            # per triangle.  ``fast``: clip-free chunk, edge terms only.
+            l0, l1, l2, z = [
+                lxs[t][k:k + 1, :] + lys[t][:, k:k + 1] for t in range(4)]
+            # Invalid rows carry e0.c ≡ −1 (l0 < 0 everywhere) → never
+            # covered.  ``fast``: clip-free chunk, edge terms only.
             q = jnp.minimum(jnp.minimum(l0, l1), l2)
             if not fast:
-                q = jnp.minimum(q, jnp.minimum(zw, ww - zw))
-            covered = (q >= 0.0) & (ww > 0.0) if COVER_WW else q >= 0.0
+                q = jnp.minimum(q, jnp.minimum(z, 1.0 - z))
+            covered = q >= 0.0
             if wireframe:
                 d = jnp.minimum(jnp.minimum(l0 * gs[0][k:k + 1],
                                             l1 * gs[1][k:k + 1]),
                                 l2 * gs[2][k:k + 1])
                 covered = covered & (d <= wire_thresh)
-            zw_c = jnp.where(covered, zw, 1.0)
-            ww_c = jnp.where(covered, ww, 0.0)
-            entries.append((zw_c, ww_c, jnp.full_like(zw_c, float(k))))
+            entries.append((jnp.where(covered, z, 2.0),
+                            jnp.full_like(z, float(k))))
 
         def merge(a, bt):
-            take_b = bt[0] * a[1] < a[0] * bt[1]
+            take_b = bt[0] < a[0]
             return tuple(jnp.where(take_b, fb, fa)
                          for fa, fb in zip(a, bt))
 
@@ -506,11 +499,9 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                        for k in range(0, len(entries), 2)]
         win = entries[0]
 
-        wvalid = win[1] > 0.0
-        z = win[0] / jnp.where(wvalid, win[1], 1.0)
-        hit = wvalid & (z < z_ref[:])
-        z_ref[:] = jnp.where(hit, z, z_ref[:])
-        local = b * SUBBATCH + win[2].astype(jnp.int32)
+        hit = win[0] < z_ref[:]
+        z_ref[:] = jnp.where(hit, win[0], z_ref[:])
+        local = b * SUBBATCH + win[1].astype(jnp.int32)
         cand_ref[:] = jnp.where(hit, cid * CHUNK_SIZE + local, cand_ref[:])
 
     def run_body(s, _):

@@ -70,7 +70,6 @@ def rasterize_xla(setup: Array, width: int, height: int,
 
         r = chunk[:, 0:9].reshape(batch, 3, 3)
         zrow = chunk[:, 9:12]
-        wrow = chunk[:, 12:15]
         vflag = chunk[:, 15] > 0.0
 
         # l_i(p): (batch, H, W)
@@ -82,12 +81,10 @@ def rasterize_xla(setup: Array, width: int, height: int,
         l0 = lin(r[:, 0])
         l1 = lin(r[:, 1])
         l2 = lin(r[:, 2])
-        zw = lin(zrow)
-        ww = lin(wrow)
+        z = lin(zrow)   # screen-affine NDC depth (ops/vertex.py col 9:12)
 
         inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
-        z = zw / jnp.where(ww != 0, ww, 1e-30)
-        covered = inside & (ww > 0) & (z >= 0.0) & (z <= 1.0) \
+        covered = inside & (z >= 0.0) & (z <= 1.0) \
             & vflag[:, None, None]
         if wireframe:
             def edge_dist(l, row):
@@ -154,9 +151,8 @@ def rasterize_depth_xla(setup: Array, dim: int, batch: int = 16,
                     row[:, 2, None, None])
 
         l0, l1, l2 = lin(r[:, 0]), lin(r[:, 1]), lin(r[:, 2])
-        zw, ww = lin(chunk[:, 9:12]), lin(chunk[:, 12:15])
-        z = zw / jnp.where(ww != 0, ww, 1e-30)
-        covered = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (ww > 0) \
+        z = lin(chunk[:, 9:12])   # screen-affine NDC depth
+        covered = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) \
             & (z >= 0.0) & (z <= 1.0) & (chunk[:, 15] > 0)[:, None, None]
         zc = jnp.where(covered, z, jnp.inf).min(axis=0)
         return jnp.minimum(zbuf, jnp.where(jnp.isfinite(zc), zc, 1.0)), None

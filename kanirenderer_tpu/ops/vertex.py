@@ -43,8 +43,10 @@ Triangle-setup layout (16 lanes):
   0:3  e0 (a, b, c) edge function   l0(p) = a*x + b*y + c
   3:6  e1
   6:9  e2                (sign-normalized: inside => all l_i >= 0)
-  9:12 zrow   zw(p) = zrow · (x, y, 1)   (z_clip interpolant)
-  12:15 wrow  ww(p) = wrow · (x, y, 1)   (w_clip interpolant; z = zw/ww)
+  9:12 zrow   z(p) = zrow · (x, y, 1)   (screen-AFFINE NDC depth — the
+       adjugate construction makes the interpolated w constant per
+       triangle, see _setup_from_corner_planes; depth clip = z ∈ [0, 1])
+  12:15 unused (zero; was the w interpolant before the affine-z collapse)
   15   valid flag (1.0 = rasterize)
 """
 
@@ -303,21 +305,28 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
                  | all3(lambda k: z[k] < 0.0) | all3(lambda k: z[k] > w[k]))
     valid = valid & ~behind & ~(all_front & out_plane)
 
-    # Interpolation rows: zw(p) = Σ l_i z_i, ww(p) = Σ l_i w_i.
-    zrow = tuple(r0[j] * z[0] + r1[j] * z[1] + r2[j] * z[2] for j in range(3))
-    wrow = tuple(r0[j] * w[0] + r1[j] * w[1] + r2[j] * w[2] for j in range(3))
+    # Depth row: NDC z(p) is AFFINE in screen space.  The corner planes
+    # are the adjugate rows of the homogeneous screen matrix C (columns
+    # (px_i, py_i, pw_i)), so C·R = det·I makes the interpolated w
+    # ww(p) = Σ l_i(p)·w_i ≡ det·sgn = |det| — CONSTANT per triangle —
+    # and z(p) = zw(p)/ww(p) = (Σ l_i(p)·z_i)/|det|: one affine plane,
+    # exact for external (near-plane-crossing) triangles too.  This is
+    # the classical screen-affine depth, derived directly from the 2DH
+    # setup; it removes the per-pixel rational divide and the cross-
+    # multiplied depth tournament from the raster kernels, and the depth
+    # clip z ∈ [0, w] becomes z(p) ∈ [0, 1].
+    rdet = 1.0 / jnp.where(det != 0.0, det * sgn, 1.0)
+    zrow = tuple((r0[j] * z[0] + r1[j] * z[1] + r2[j] * z[2]) * rdet
+                 for j in range(3))
 
     bias = None
     if depth_bias_constant or depth_bias_slope:
-        # Affine z gradient in pixels: z(p) = zrow·p / wrow·p; for the ortho
-        # shadow pass w is constant so dz = (zrow.xy - z*wrow.xy)/ww ≈
-        # zrow.xy/ww.  Use the vertex-averaged ww as scale.
-        ww_c = jnp.maximum(jnp.abs(wrow[2] + 0.5 * wrow[0] + 0.5 * wrow[1]),
-                           1e-20)
-        max_slope = jnp.maximum(jnp.abs(zrow[0]), jnp.abs(zrow[1])) / ww_c
+        # z is affine: its pixel gradient IS (zrow[0], zrow[1]) exactly
+        # (the old rational form needed a vertex-averaged ww estimate).
+        max_slope = jnp.maximum(jnp.abs(zrow[0]), jnp.abs(zrow[1]))
         bias = depth_bias_slope * max_slope \
             + depth_bias_constant * (2.0 ** -23)
-        zrow = tuple(zrow[j] + wrow[j] * bias for j in range(3))
+        zrow = (zrow[0], zrow[1], zrow[2] + bias)
 
     # Clip-free flag: zw(p) = Σ l_i·z_i and ww(p) − zw(p) = Σ l_i·(w_i−z_i)
     # with all l_i ≥ 0 at covered pixels, so if every (bias-shifted) vertex
@@ -384,11 +393,12 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
     # tournament entry would tie-and-hold against real triangles.  Lane 15
     # keeps the flag for diagnostics.
     vf = valid.astype(jnp.float32)
+    zero = jnp.zeros_like(vf)
     planes = [r0[0] * vf, r0[1] * vf, r0[2] * vf - (1.0 - vf),
               r1[0] * vf, r1[1] * vf, r1[2] * vf,
               r2[0] * vf, r2[1] * vf, r2[2] * vf,
               zrow[0] * vf, zrow[1] * vf, zrow[2] * vf,
-              wrow[0] * vf, wrow[1] * vf, wrow[2] * vf,
+              zero, zero, zero,
               vf]
     setup = jnp.stack(planes, axis=1)           # (T, NS)
     bbox = jnp.stack([x0, y0, x1, y1], axis=1)

@@ -96,6 +96,50 @@ def test_pallas_matches_xla_standin():
                                atol=1e-6)
 
 
+def test_pallas_mixed_clipfree_and_crossing_chunks():
+    """A clip-free chunk and a near-plane-crossing chunk fighting for the
+    same pixels must match the oracle — under KANI_CLIPFREE=1 this drives
+    both the fast path and the slow second pass of the kernels against
+    each other through the shared z buffer (run the file with the flag
+    flipped from its default to cover the other leg)."""
+    rng = np.random.RandomState(11)
+    tris = []
+    # chunk 0: CHUNK_SIZE small front-facing triangles, z strictly inside
+    # [0, w] at every vertex -> certified clip-free.
+    for _ in range(CHUNK_SIZE):
+        cx, cy = rng.uniform(-0.7, 0.7, 2)
+        z = rng.uniform(0.3, 0.7)
+        s = 0.25
+        tris.append([(cx - s, cy - s, z, 1.0), (cx + s, cy - s, z, 1.0),
+                     (cx, cy + s, z, 1.0)])
+    # chunk 1: triangles with one vertex behind the eye (w < 0) or past
+    # the far plane (z > w) -> chunk not clip-free, slow pass.
+    for i in range(CHUNK_SIZE):
+        cx, cy = rng.uniform(-0.5, 0.5, 2)
+        if i % 2 == 0:
+            tris.append([(cx - 0.3, cy - 0.3, 0.4, 1.0),
+                         (cx + 0.3, cy - 0.3, 0.4, 1.0),
+                         (cx, cy + 2.0, -0.5, -1.0)])
+        else:
+            tris.append([(cx - 0.3, cy - 0.3, 0.5, 1.0),
+                         (cx + 0.3, cy - 0.3, 0.5, 1.0),
+                         (cx, cy + 0.3, 1.5, 1.0)])
+    clip_np = np.asarray(tris, np.float32)
+    T = len(tris)
+    clip = jnp.asarray(clip_np.reshape(T * 3, 4))
+    tri_idx = jnp.arange(T * 3, dtype=jnp.int32).reshape(T, 3)
+    st = triangle_setup(clip, tri_idx, jnp.ones(T, bool), 256, 192,
+                        cull_backfaces=False)
+    cfg = kani.RenderConfig(width=256, height=192)
+    vx = raster_xla.rasterize_xla(st.setup, cfg.width, cfg.height)
+    vp = raster_pallas.rasterize(st, cfg)
+    same = np.asarray(vx.tri) == np.asarray(vp.tri)
+    assert (~same).mean() < 0.002, (~same).mean()
+    np.testing.assert_allclose(np.asarray(vx.z)[same], np.asarray(vp.z)[same],
+                               atol=1e-6)
+    assert np.isfinite(np.asarray(vp.z)).all()
+
+
 def test_pallas_wireframe_matches_xla():
     scene = cube_scene()
     cfg = kani.RenderConfig(width=256, height=192)

@@ -223,17 +223,20 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
             win = entries[0]
             win_z = win[0]
 
+        if depth_only:
+            # Pure running min — no compare/select pair needed.
+            z_ref[:] = jnp.minimum(z_ref[:], win_z)
+            return
         hit = win_z < z_ref[:]
         z_ref[:] = jnp.where(hit, win_z, z_ref[:])
-        if not depth_only:
-            rid = win[1].astype(jnp.int32)
-            lsum_w = jnp.where(win[4] != 0.0, win[4], 1e-30)
-            w1 = win[2] / lsum_w
-            w2 = win[3] / lsum_w
-            tid = cid * CHUNK_SIZE + b * SUBBATCH + rid
-            tri_ref[:] = jnp.where(hit, tid, tri_ref[:])
-            b1_ref[:] = jnp.where(hit, w1, b1_ref[:])
-            b2_ref[:] = jnp.where(hit, w2, b2_ref[:])
+        rid = win[1].astype(jnp.int32)
+        lsum_w = jnp.where(win[4] != 0.0, win[4], 1e-30)
+        w1 = win[2] / lsum_w
+        w2 = win[3] / lsum_w
+        tid = cid * CHUNK_SIZE + b * SUBBATCH + rid
+        tri_ref[:] = jnp.where(hit, tid, tri_ref[:])
+        b1_ref[:] = jnp.where(hit, w1, b1_ref[:])
+        b2_ref[:] = jnp.where(hit, w2, b2_ref[:])
 
     def run_body(s, _):
         slot = s % NBUF

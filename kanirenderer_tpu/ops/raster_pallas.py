@@ -489,22 +489,34 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                                             l1 * gs[1][k:k + 1]),
                                 l2 * gs[2][k:k + 1])
                 covered = covered & (d <= wire_thresh)
-            entries.append((jnp.where(covered, z, 2.0),
-                            jnp.full_like(z, float(k))))
+            entries.append(jnp.where(covered, z, 2.0))
 
-        def merge(a, bt):
-            take_b = bt[0] < a[0]
-            return tuple(jnp.where(take_b, fb, fa)
-                         for fa, fb in zip(a, bt))
+        # Winner-index accumulation from per-level compare bits: the
+        # leaf pair's take_b IS the low index bit (a bool cast, no
+        # materialized k field), and each upper merge adds 2^level when
+        # the right subtree wins.  Ties keep the left/earlier triangle,
+        # exactly like a strict-< select tournament.
+        if SUBBATCH == 1:
+            pairs = [(entries[0], jnp.zeros_like(entries[0]))]
+        else:
+            pairs = [(jnp.minimum(entries[k], entries[k + 1]),
+                      (entries[k + 1] < entries[k]).astype(jnp.float32))
+                     for k in range(0, SUBBATCH, 2)]
+        lvl = 1
+        while len(pairs) > 1:
+            nxt = []
+            for k in range(0, len(pairs), 2):
+                (za, ka), (zb, kb) = pairs[k], pairs[k + 1]
+                take_b = zb < za
+                nxt.append((jnp.minimum(za, zb),
+                            jnp.where(take_b, kb + float(1 << lvl), ka)))
+            pairs = nxt
+            lvl += 1
+        win_z, win_k = pairs[0]
 
-        while len(entries) > 1:
-            entries = [merge(entries[k], entries[k + 1])
-                       for k in range(0, len(entries), 2)]
-        win = entries[0]
-
-        hit = win[0] < z_ref[:]
-        z_ref[:] = jnp.where(hit, win[0], z_ref[:])
-        local = b * SUBBATCH + win[1].astype(jnp.int32)
+        hit = win_z < z_ref[:]
+        z_ref[:] = jnp.where(hit, win_z, z_ref[:])
+        local = b * SUBBATCH + win_k.astype(jnp.int32)
         cand_ref[:] = jnp.where(hit, cid * CHUNK_SIZE + local, cand_ref[:])
 
     def run_body(s, _):

@@ -100,6 +100,59 @@ def _interpret() -> bool:
         return True
 
 
+def _run_guard(mk, cf, k, ln):
+    """Chunk-level skip condition inside a run (shared by both kernels)."""
+    if not SUBBATCH_SKIP:
+        return k < ln
+    if CLIPFREE:
+        return (cf > 0) & (mk > 0)
+    return mk > 0
+
+
+def _clipfree_slow_pass(count, get_entry, get_mask, dma, chunk_buf,
+                        eval_subbatch):
+    """Second pass over chunks the binner could not certify clip-free
+    (rare — near-plane crossers, z>w overshoots, sliver-overflow guards).
+    Unpipelined: one run DMA into slot 0 only when a run actually contains
+    one, then a traced chunk loop (a single eval_subbatch expansion per
+    subbatch position instead of RUN_CHUNKS unrolled copies)."""
+    def slow_body(s, _):
+        entry = get_entry(s)
+        cid0 = entry // 16
+        mask = get_mask(s)
+        need = None
+        for k in range(RUN_CHUNKS):
+            mk, cf = _mk_bits(mask, k)
+            nk = (cf == 0) & (mk > 0)
+            need = nk if need is None else need | nk
+
+        @pl.when(need)
+        def _():
+            d = dma(0, cid0)
+            d.start()
+            d.wait()
+
+            def chunk_body(k, _):
+                mk, cf = _mk_bits(mask, k)
+
+                @pl.when((cf == 0) & (mk > 0))
+                def _():
+                    chunk = chunk_buf[0, k]
+                    cid = cid0 + k
+                    for b in range(SUBS_PER_CHUNK):
+                        rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
+
+                        @pl.when((mk >> b) % 2 > 0)
+                        def _(rows=rows, b=b):
+                            eval_subbatch(rows, cid, b)
+                return 0
+
+            jax.lax.fori_loop(0, RUN_CHUNKS, chunk_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, count, slow_body, 0)
+
+
 def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
                    b1_ref, b2_ref, list_smem, chunk_buf, list_sem, sem, *,
                    tile_h, tile_w, tiles_x, wireframe, wire_thresh,
@@ -255,12 +308,7 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
             # Precomputed subbatch overlap bits make the skip a pure
             # scalar branch (no vector reduce + scalar-core sync).
             mk, cf = _mk_bits(mask, k)
-            if not SUBBATCH_SKIP:
-                guard_k = k < ln
-            elif CLIPFREE:
-                guard_k = (cf > 0) & (mk > 0)
-            else:
-                guard_k = mk > 0
+            guard_k = _run_guard(mk, cf, k, ln)
 
             @pl.when(guard_k)
             def _(k=k, mk=mk):
@@ -281,46 +329,8 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
     jax.lax.fori_loop(0, count, run_body, 0)
 
     if CLIPFREE:
-        # Slow pass: chunks the binner could not certify clip-free (rare —
-        # near-plane crossers and z>w overshoots).  Unpipelined: one run
-        # DMA into slot 0 only when a run actually contains one, then a
-        # traced chunk loop (single eval_subbatch expansion per subbatch
-        # position instead of RUN_CHUNKS copies).
-        def slow_body(s, _):
-            entry = get_entry(s)
-            cid0 = entry // 16
-            mask = get_mask(s)
-            need = None
-            for k in range(RUN_CHUNKS):
-                mk, cf = _mk_bits(mask, k)
-                nk = (cf == 0) & (mk > 0)
-                need = nk if need is None else need | nk
-
-            @pl.when(need)
-            def _():
-                d = dma(0, cid0)
-                d.start()
-                d.wait()
-
-                def chunk_body(k, _):
-                    mk, cf = _mk_bits(mask, k)
-
-                    @pl.when((cf == 0) & (mk > 0))
-                    def _():
-                        chunk = chunk_buf[0, k]
-                        cid = cid0 + k
-                        for b in range(SUBS_PER_CHUNK):
-                            rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
-
-                            @pl.when((mk >> b) % 2 > 0)
-                            def _(rows=rows, b=b):
-                                eval_subbatch(rows, cid, b)
-                    return 0
-
-                jax.lax.fori_loop(0, RUN_CHUNKS, chunk_body, 0)
-            return 0
-
-        jax.lax.fori_loop(0, count, slow_body, 0)
+        _clipfree_slow_pass(count, get_entry, get_mask, dma, chunk_buf,
+                            eval_subbatch)
 
 
 def _run(setup: Array, bins: binning.TileBins,
@@ -536,12 +546,7 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
             # Precomputed subbatch overlap bits make the skip a pure
             # scalar branch (no vector reduce + scalar-core sync).
             mk, cf = _mk_bits(mask, k)
-            if not SUBBATCH_SKIP:
-                guard_k = k < ln
-            elif CLIPFREE:
-                guard_k = (cf > 0) & (mk > 0)
-            else:
-                guard_k = mk > 0
+            guard_k = _run_guard(mk, cf, k, ln)
 
             @pl.when(guard_k)
             def _(k=k, mk=mk):
@@ -562,42 +567,8 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     jax.lax.fori_loop(0, count, run_body, 0)
 
     if CLIPFREE:
-        # Slow pass for non-clip-free chunks — see _raster_kernel.
-        def slow_body(s, _):
-            entry = get_entry(s)
-            cid0 = entry // 16
-            mask = get_mask(s)
-            need = None
-            for k in range(RUN_CHUNKS):
-                mk, cf = _mk_bits(mask, k)
-                nk = (cf == 0) & (mk > 0)
-                need = nk if need is None else need | nk
-
-            @pl.when(need)
-            def _():
-                d = dma(0, cid0)
-                d.start()
-                d.wait()
-
-                def chunk_body(k, _):
-                    mk, cf = _mk_bits(mask, k)
-
-                    @pl.when((cf == 0) & (mk > 0))
-                    def _():
-                        chunk = chunk_buf[0, k]
-                        cid = cid0 + k
-                        for b in range(SUBS_PER_CHUNK):
-                            rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
-
-                            @pl.when((mk >> b) % 2 > 0)
-                            def _(rows=rows, b=b):
-                                eval_subbatch(rows, cid, b)
-                    return 0
-
-                jax.lax.fori_loop(0, RUN_CHUNKS, chunk_body, 0)
-            return 0
-
-        jax.lax.fori_loop(0, count, slow_body, 0)
+        _clipfree_slow_pass(count, get_entry, get_mask, dma, chunk_buf,
+                            eval_subbatch)
 
     # ---- phase 2: winner-chunk record interpolation ----
     for c in range(USED):

@@ -333,12 +333,16 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
     # has z ∈ [0, w] then every covered pixel passes the depth clip — a
     # pure sign argument, exact for external triangles too.  The raster
     # kernels use the per-chunk AND of this to drop the clip terms from
-    # coverage (KANI_CLIPFREE).  Invalid rows carry l0 ≡ −1 (below) and
-    # are never covered, so they count as clip-free — keeping tail-padded
-    # chunks on the fast path.
+    # coverage (KANI_CLIPFREE).  Extreme-sliver triangles (|det| → 0)
+    # whose affine-z coefficients could overflow mid-tile to inf − inf =
+    # NaN are kept OFF the fast path: the fast coverage test has no z
+    # term to reject a NaN, and the depth-only running-min would keep it
+    # forever.  The slow pass's q = min(..., z, 1 − z) rejects NaN.
     zb = z if bias is None else tuple(z[k] + w[k] * bias for k in range(3))
-    clipfree = all3(lambda k: (zb[k] >= 0.0) & (w[k] - zb[k] >= 0.0)) \
-        | ~valid
+    # |a|·x + |b|·y + |c| stays finite anywhere on screen at this bound.
+    zsafe = all3(lambda k: jnp.abs(zrow[k]) < 1e30)
+    clipfree_geo = all3(lambda k: (zb[k] >= 0.0) & (w[k] - zb[k] >= 0.0)) \
+        & zsafe
 
     # Screen bbox of the VISIBLE portion.  External (near-plane-crossing)
     # triangles would project to unbounded regions, so the bbox — and only
@@ -380,6 +384,11 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
     y1 = jnp.clip(jnp.ceil(max_y) + 1.0, 0, height)
     onscreen = (x1 > x0) & (y1 > y0)
     valid = valid & onscreen
+    # Invalid rows (zeroed, l0 ≡ −1 — never covered) count as clip-free
+    # so tail-padded and offscreen-member chunks stay on the fast path;
+    # computed from the FINAL validity so a triangle invalidated only by
+    # the onscreen test can't demote its chunk to the slow pass.
+    clipfree = clipfree_geo | ~valid
     # Invalid triangles get an empty bbox so binning skips them.
     x1 = jnp.where(valid, x1, 0.0)
     y1 = jnp.where(valid, y1, 0.0)

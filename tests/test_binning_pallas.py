@@ -138,6 +138,20 @@ def test_pallas_mixed_clipfree_and_crossing_chunks():
     np.testing.assert_allclose(np.asarray(vx.z)[same], np.asarray(vp.z)[same],
                                atol=1e-6)
     assert np.isfinite(np.asarray(vp.z)).all()
+    # The FUSED kernel (the production path — its slow pass is separate
+    # code from _raster_kernel's) must agree too.
+    from kanirenderer_tpu.ops.interpolate import build_tri_records
+    vary = jnp.zeros((T * 3, 24), jnp.float32)
+    rec = build_tri_records(tri_idx, jnp.zeros(T, jnp.int32), vary,
+                            jnp.zeros(1, jnp.int32), jnp.ones(1, jnp.int32),
+                            jnp.ones((1, 2), jnp.int32), setup=st.setup)
+    pix = raster_pallas.rasterize_pixels(st, rec, cfg)
+    same_f = np.asarray(pix.mask) == (np.asarray(vx.tri) >= 0)
+    assert (~same_f).mean() < 0.002, (~same_f).mean()
+    both = np.asarray(pix.mask) & (np.asarray(vx.tri) >= 0)
+    np.testing.assert_allclose(np.asarray(pix.z)[both],
+                               np.asarray(vx.z)[both], atol=1e-5)
+    assert np.isfinite(np.asarray(pix.z)).all()
 
 
 def test_pallas_wireframe_matches_xla():

@@ -81,8 +81,14 @@ def build_tri_records(tri_idx: Array, tri_mat: Array, varyings: Array,
     # varyings as (v0, v1−v0, v2−v0) so interpolation needs no per-pixel
     # subtract, plus the lsum edge row (Σ edge coeffs — barycentric
     # normalization is affine too) so phase 2 never evaluates l0.
+    # Zero-padded to REC_WIDTH=128 lanes: Mosaic requires HBM DMA slices
+    # to be 128-aligned on the minor dim, and the fused kernel streams
+    # RUN-granular slabs of this array for BOTH phases.
     lsum = setup[:, 0:3] + setup[:, 3:6] + setup[:, 6:9]
-    return jnp.concatenate([setup, r0, r1 - r0, r2 - r0, extra, lsum],
+    T = setup.shape[0]
+    used = setup.shape[1] + 3 * USED + extra.shape[1] + lsum.shape[1]
+    zpad = jnp.zeros((T, 128 - used), jnp.float32)
+    return jnp.concatenate([setup, r0, r1 - r0, r2 - r0, extra, lsum, zpad],
                            axis=1)
 
 
@@ -92,9 +98,10 @@ def build_tri_records_corners(varyings_c, setup_planes, tri_extra) -> Array:
     ``varyings_c``: 3 corners × USED (T,) planes (CornerOutputs.varyings);
     ``setup_planes``: the 16 masked setup columns from
     triangle_setup_corners; ``tri_extra``: planar (6, T) static material
-    lanes.  ONE 76-column stack — the whole record assembly is a single
-    relayout with no per-frame gathers anywhere.  Same delta/lsum layout
-    as build_tri_records(setup=·) above.
+    lanes.  ONE 128-column stack (76 used lanes + zero pad to the Mosaic
+    DMA lane alignment) — the whole record assembly is a single relayout
+    with no per-frame gathers anywhere.  Same delta/lsum layout as
+    build_tri_records(setup=·) above.
     """
     sp = setup_planes
     v0, v1, v2 = (varyings_c[k][:USED] for k in range(3))
@@ -104,6 +111,8 @@ def build_tri_records_corners(varyings_c, setup_planes, tri_extra) -> Array:
     cols.extend(b - a for a, b in zip(v0, v2))
     cols.extend(tri_extra[i] for i in range(6))
     cols.extend(sp[i] + sp[3 + i] + sp[6 + i] for i in range(3))
+    zero = jnp.zeros_like(sp[0])
+    cols.extend([zero] * (128 - len(cols)))
     return jnp.stack(cols, axis=1)
 
 

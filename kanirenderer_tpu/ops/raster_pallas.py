@@ -71,22 +71,29 @@ def _mk_bits(mask, k):
 assert CHUNK_SIZE <= 128, \
     f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be at most 128"
 
-# The kernels read two per-chunk HBM arrays (no packed super-array: the
-# old 128-lane setup_c assembly was a measured ~6-7 ms XLA relayout floor
-# per raster call, and physical (8, 128) tiling pads narrow minor dims
-# for free anyway):
-#  * slim (C, CHUNK, NS):  phase-1 visibility — the raw triangle_setup
-#    rows, reshaped (free) + run-tail padded (cheap row concat);
-#  * fat  (C, CHUNK, FAT_LANES): phase-2 interpolation — records from
+# The fused kernel reads ONE per-chunk HBM record array,
+# (C, CHUNK, REC_WIDTH=128) f32, both phases streaming slabs of it:
+#  * lanes 0:NS — the triangle_setup rows (phase-1 visibility reads only
+#    these; the extra lanes ride the run DMA for free — bandwidth is
+#    negligible and fully latency-hidden);
+#  * lanes NS:FAT_LANES — phase-2 interpolation records from
 #    interpolate.build_tri_records(..., setup=·):
 #    [setup 0:16 | v0 varyings 16:33 | v1−v0 33:50 | v2−v0 50:67 |
 #     mat, tex_w, tex_h, blk_hi, blk_lo, blk_w 67:73 | lsum row 73:76]
 #    (varying DELTAS kill the per-pixel subtracts; the lsum edge row —
-#    barycentric normalization is affine too — kills the l0 evaluation.)
+#    barycentric normalization is affine too — kills the l0 evaluation);
+#  * lanes FAT_LANES:128 — zero pad.  Mosaic requires HBM DMA slices to
+#    be 128-aligned along the minor (lane) dim — a run-granular
+#    ``pl.ds`` slab of a (C, CHUNK, 16) slim array fails to compile
+#    ("Slice shape along dimension 2 must be aligned to tiling (128)"),
+#    so the record stack emits the 128-lane layout directly (one stack,
+#    no relayout; the old 6-7 ms pack floor came from scattering
+#    varyings into a gathered row layout, not from lane width).
 REC0 = NS                 # 16
 PAR0 = REC0 + 3 * USED    # 67
 LSUM0 = PAR0 + 6          # 73
-FAT_LANES = LSUM0 + 3     # 76 — matches build_tri_records(setup=·) width
+FAT_LANES = LSUM0 + 3     # 76 — used lanes of build_tri_records(setup=·)
+REC_WIDTH = 128           # lane-aligned record width (DMA tiling)
 
 
 def _interpret() -> bool:
@@ -346,10 +353,11 @@ def _run(setup: Array, bins: binning.TileBins,
     # per-run mask bits are 0 and the subbatch guards skip them.  (Invalid
     # rows inside real chunks carry e0.c = −1 → never covered.)
     # The reshape is free and the row-pad a cheap major-dim concat; the
-    # NS-lane minor dim is padded to 128 by the physical (8, 128) tiling,
-    # so per-run DMA slices stay tile-aligned with no explicit lane pad.
+    # lane pad NS → REC_WIDTH is required because Mosaic only DMAs
+    # 128-aligned minor-dim slices out of HBM (a (RUN, CHUNK, 16) slab
+    # fails to compile on hardware).
     setup_c = jnp.pad(setup.reshape(C, CHUNK_SIZE, NS),
-                      ((0, RUN_CHUNKS - 1), (0, 0), (0, 0)))
+                      ((0, RUN_CHUNKS - 1), (0, 0), (0, REC_WIDTH - NS)))
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
 
     kernel = functools.partial(
@@ -385,7 +393,8 @@ def _run(setup: Array, bins: binning.TileBins,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((16, 128), jnp.int32),
-            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, NS), jnp.float32),
+            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, REC_WIDTH),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
@@ -409,7 +418,7 @@ def rasterize(st: TriangleSetup, config: RenderConfig,
                      bary=jnp.stack([b1[:H, :W], b2[:H, :W]], axis=-1))
 
 
-def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
+def _fused_kernel(lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                   tw_ref, th_ref, base_ref, bw_ref, tid_ref, list_smem,
                   chunk_buf, fat_buf, cand_ref, win_smem, cnt_smem,
                   list_sem, sem, *, tile_h,
@@ -418,8 +427,10 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
 
     Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
     (z, rid) payload over the tile's RUN list (one DMA per ≤
-    RUN_CHUNKS consecutive chunks); the winner is stored as its GLOBAL
-    triangle id (cid·CHUNK + local) so phase 2 can find its chunk.
+    RUN_CHUNKS consecutive chunks of the 128-lane record array — the
+    setup lanes 0:NS are all phase 1 touches; the rest rides for free);
+    the winner is stored as its GLOBAL triangle id (cid·CHUNK + local)
+    so phase 2 can find its chunk.
 
     Phase 2 — interpolation: compact the winner chunk ids into SMEM, DMA
     only chunks that won at least one pixel, and resolve the winner's full
@@ -454,7 +465,7 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
 
     def dma(slot, cid0):
         return pltpu.make_async_copy(
-            setup_hbm.at[pl.ds(cid0, RUN_CHUNKS)], chunk_buf.at[slot],
+            rec_hbm.at[pl.ds(cid0, RUN_CHUNKS)], chunk_buf.at[slot],
             sem.at[slot])
 
     for w in range(NBUF - 1):
@@ -647,11 +658,11 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         mask = win_cid == cid
 
         local = jnp.where(mask, cand - cid * CHUNK_SIZE, 0)
-        chunk = fat_buf[slot]          # (CHUNK_SIZE, FAT_LANES)
+        chunk = fat_buf[slot]          # (CHUNK_SIZE, REC_WIDTH)
         if CHUNK_SIZE < 128:
             padded = jnp.concatenate(
                 [chunk,
-                 jnp.zeros((128 - CHUNK_SIZE, FAT_LANES), jnp.float32)])
+                 jnp.zeros((128 - CHUNK_SIZE, REC_WIDTH), jnp.float32)])
         else:
             padded = chunk
         ct = padded.T                  # (128 lanes->tri slots) per row
@@ -689,7 +700,7 @@ def _fused_kernel(lists_hbm, setup_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     jax.lax.fori_loop(0, nwin, interp_body, 0)
 
 
-def _run_fused(setup_c: Array, rec_c: Array, bins: binning.TileBins,
+def _run_fused(rec_c: Array, bins: binning.TileBins,
                tile_w: int, tile_h: int, tiles_x: int, tiles_y: int,
                wireframe: bool, wire_thresh: float):
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
@@ -706,7 +717,6 @@ def _run_fused(setup_c: Array, rec_c: Array, bins: binning.TileBins,
         kernel,
         grid=(tiles_y, tiles_x),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[bspec, vspec] + [bspec] * 6,
         out_shape=[plane_f,
@@ -714,8 +724,9 @@ def _run_fused(setup_c: Array, rec_c: Array, bins: binning.TileBins,
                    plane_i, plane_i, plane_i, plane_i, plane_i, plane_i],
         scratch_shapes=[
             pltpu.SMEM((16, 128), jnp.int32),
-            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, NS), jnp.float32),
-            pltpu.VMEM((NBUF, CHUNK_SIZE, FAT_LANES), jnp.float32),
+            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, REC_WIDTH),
+                       jnp.float32),
+            pltpu.VMEM((NBUF, CHUNK_SIZE, REC_WIDTH), jnp.float32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),
             pltpu.SMEM((8, 128), jnp.int32),
             pltpu.SMEM((1, 1), jnp.int32),
@@ -723,7 +734,7 @@ def _run_fused(setup_c: Array, rec_c: Array, bins: binning.TileBins,
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=_interpret(),
-    )(bins.packed, setup_c, rec_c)
+    )(bins.packed, rec_c)
 
 
 @functools.partial(jax.jit,
@@ -735,7 +746,7 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
                      y0: Array | None = None) -> PixelBuffer:
     """Fused visibility raster + record interpolation (one Pallas launch).
 
-    ``records``: (T, FAT_LANES) per-triangle shading records from
+    ``records``: (T, REC_WIDTH=128) per-triangle shading records from
     ops/interpolate.build_tri_records(..., setup=st.setup) — setup rows
     prepended so phase 2 can recompute barycentrics from one fetch.  Returns the same PixelBuffer the
     XLA path (rasterize_xla → interpolate) produces, so shading and tests
@@ -768,13 +779,17 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
         cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
         cfg.max_global_chunks, clipfree=st.clipfree)
     C = setup.shape[0] // CHUNK_SIZE
-    # Slim phase-1 rows: reshape (free) + run-tail pad (cheap row concat).
-    setup_c = jnp.pad(setup.reshape(C, CHUNK_SIZE, NS),
-                      ((0, RUN_CHUNKS - 1), (0, 0), (0, 0)))
-    rec_c = records.reshape(C, CHUNK_SIZE, FAT_LANES)
+    assert records.shape[1] == REC_WIDTH, \
+        f"records must be {REC_WIDTH}-lane (got {records.shape[1]}) — " \
+        "build them with build_tri_records(setup=·)/_corners"
+    # One 128-lane record array for both kernel phases: reshape (free) +
+    # run-tail pad (cheap row concat; pad chunks are never evaluated —
+    # see _run).
+    rec_c = jnp.pad(records.reshape(C, CHUNK_SIZE, REC_WIDTH),
+                    ((0, RUN_CHUNKS - 1), (0, 0), (0, 0)))
 
     z, vary, mat, tw, th, base, bw, tid = _run_fused(
-        setup_c, rec_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, tiles_y,
+        rec_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, tiles_y,
         wireframe, cfg.wire_thresh_px)
     H, W = band_h, cfg.width
     return PixelBuffer(varyings=vary[:, :H, :W], mat_id=mat[:H, :W],

@@ -67,7 +67,7 @@ def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
     if cfg.raster_backend == "pallas":
         from kanirenderer_tpu.ops import raster_pallas
         if setup_planes is not None:
-            # Corner-major path: one FAT_LANES(=76)-column stack, no
+            # Corner-major path: one 128-lane-column stack, no
             # per-frame gathers.
             records = build_tri_records_corners(vout.varyings, setup_planes,
                                                 scene.tri_extra)

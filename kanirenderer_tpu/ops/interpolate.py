@@ -20,8 +20,10 @@ f32-exact halves).  Records are built with cheap per-TRIANGLE row gathers
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from kanirenderer_tpu.ops.raster_xla import VisBuffer
@@ -29,6 +31,16 @@ from kanirenderer_tpu.ops.raster_xla import VisBuffer
 Array = jnp.ndarray
 
 USED = 17  # varying channels 17..NV are padding (see ops/vertex.py layout)
+
+# Corner-major record assembly (regression triage, jobs 316/326-330): a
+# (T, 128) jnp.stack(axis=1) of planar (T,) columns composed with the fused
+# Pallas kernel makes XLA decompose the stack into ~76 per-lane (C, CHUNK, 1)
+# buffers ping-ponged between transposed layouts — +57 ms/frame on chip
+# (110.9 vs 45.7 ms composed geom→raster, identical outputs).  The shipped
+# "planarT" build stacks planar (128, T) — a contiguous concat — behind an
+# optimization_barrier, then ONE transpose that the pallas operand's default
+# layout materializes as a single tiled relayout copy.  KANI_REC_BUILD=stack
+# keeps the regressing direct stack for A/B re-verification.
 
 
 class PixelBuffer(NamedTuple):
@@ -113,7 +125,11 @@ def build_tri_records_corners(varyings_c, setup_planes, tri_extra) -> Array:
     cols.extend(sp[i] + sp[3 + i] + sp[6 + i] for i in range(3))
     zero = jnp.zeros_like(sp[0])
     cols.extend([zero] * (128 - len(cols)))
-    return jnp.stack(cols, axis=1)
+    if _os.environ.get("KANI_REC_BUILD", "planarT") == "stack":
+        return jnp.stack(cols, axis=1)
+    planar = jnp.stack(cols, axis=0)            # (128, T): contiguous concat
+    planar = jax.lax.optimization_barrier(planar)
+    return planar.T
 
 
 def interpolate(vis: VisBuffer, tri_idx: Array, tri_mat: Array,

@@ -409,6 +409,11 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
               zrow[0] * vf, zrow[1] * vf, zrow[2] * vf,
               zero, zero, zero,
               vf]
-    setup = jnp.stack(planes, axis=1)           # (T, NS)
+    # Planar stack + barrier + one transpose, NOT jnp.stack(axis=1): a
+    # column stack composed with a Pallas consumer makes XLA decompose it
+    # into per-lane transposed-layout buffers (+57 ms/frame on the record
+    # array — see ops/interpolate.build_tri_records_corners).  The depth
+    # raster streams slabs of this array, so it gets the same production.
+    setup = jax.lax.optimization_barrier(jnp.stack(planes, axis=0)).T
     bbox = jnp.stack([x0, y0, x1, y1], axis=1)
     return TriangleSetup(setup=setup, bbox=bbox, clipfree=clipfree), planes

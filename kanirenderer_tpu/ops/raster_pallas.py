@@ -49,6 +49,10 @@ SUBBATCH_SKIP = _os.environ.get("KANI_SUBBATCH_SKIP", "1") != "0"
 # | "p1c" (p1 + winner compaction, no interpolation DMA/loop).  Non-default
 # values produce wrong images — bench instrumentation only.
 FUSED_PHASE = _os.environ.get("KANI_FUSED_PHASE", "full")
+# KANI_EVAL_NOP=1 replaces every subbatch evaluation with a 2-op touch of
+# the DMA'd rows: the kernel's DMA + run-loop + sync floor without the
+# edge/depth arithmetic.  Wrong images — bench instrumentation only.
+EVAL_NOP = _os.environ.get("KANI_EVAL_NOP", "0") == "1"
 # Clip-free chunks (KANI_CLIPFREE=1, core/types.py): the binner's per-run
 # mask fields widen to MASK_BITS with a top bit that certifies every
 # triangle of the chunk passes the depth clip at every covered pixel
@@ -234,6 +238,9 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
         ``fast``: the chunk is certified clip-free — coverage is the three
         edge terms only (the z ∈ [0, 1] clip is implied; see _mk_bits).
         """
+        if EVAL_NOP:
+            z_ref[:] = jnp.minimum(z_ref[:], 1.0 + rows[0, 0] * 1e-30)
+            return
         cols = ((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11))
         lxs = [rows[:, c0][:, None] * Xr + rows[:, c2][:, None]
                for (c0, _, c2) in cols]                      # (SUB, W) each
@@ -486,6 +493,9 @@ def _fused_kernel(lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
 
     def eval_subbatch(rows, cid, b, fast=False):
         # Affine-z tournament — see _raster_kernel.eval_subbatch.
+        if EVAL_NOP:
+            z_ref[:] = jnp.minimum(z_ref[:], 1.0 + rows[0, 0] * 1e-30)
+            return
         cols = ((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11))
         lxs = [rows[:, c0][:, None] * Xr + rows[:, c2][:, None]
                for (c0, _, c2) in cols]                      # (SUB, W) each

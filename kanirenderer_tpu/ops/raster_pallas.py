@@ -53,6 +53,17 @@ FUSED_PHASE = _os.environ.get("KANI_FUSED_PHASE", "full")
 # the DMA'd rows: the kernel's DMA + run-loop + sync floor without the
 # edge/depth arithmetic.  Wrong images — bench instrumentation only.
 EVAL_NOP = _os.environ.get("KANI_EVAL_NOP", "0") == "1"
+# KANI_P2LUT=broadcast replaces phase-2's per-pixel lane LUTs
+# (take_along_axis) with a plain row broadcast of the same shape: isolates
+# the dynamic-gather cost from the DMA/FMA/select cost.  Wrong images —
+# bench instrumentation only.
+P2LUT = _os.environ.get("KANI_P2LUT", "lut")
+# KANI_P2=mm: resolve phase-2 winner records with ONE MXU matmul per
+# winner chunk (recordsᵀ @ one-hot(winner slot)) accumulated over the
+# compacted list, then do the varying math ONCE per tile — replaces the
+# ~66 per-chunk lane LUTs + per-chunk selects of the default "lut" path.
+# Correct images (same records, same math, summed over disjoint one-hots).
+P2 = _os.environ.get("KANI_P2", "lut")
 # Clip-free chunks (KANI_CLIPFREE=1, core/types.py): the binner's per-run
 # mask fields widen to MASK_BITS with a top bit that certifies every
 # triangle of the chunk passes the depth clip at every covered pixel
@@ -98,6 +109,7 @@ PAR0 = REC0 + 3 * USED    # 67
 LSUM0 = PAR0 + 6          # 73
 FAT_LANES = LSUM0 + 3     # 76 — used lanes of build_tri_records(setup=·)
 REC_WIDTH = 128           # lane-aligned record width (DMA tiling)
+P2_M = -(-FAT_LANES // 8) * 8  # KANI_P2=mm resolved lanes, sublane-rounded
 
 
 def _interpret() -> bool:
@@ -656,6 +668,63 @@ def _fused_kernel(lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         def _(w=w):
             dma_one(w % NBUF, get_wcid(w)).start()
 
+    if P2 == "mm":
+        # MXU record resolve: per winner chunk, recordsᵀ(P2_M, CHUNK) @
+        # one-hot(CHUNK, H·W) selects every pixel's winner-record lanes in
+        # one matmul; chunks' one-hots are disjoint, so plain accumulation
+        # replaces the per-chunk selects, and the varying/barycentric math
+        # runs ONCE per tile on the accumulated planes.
+        HW = tile_h * tile_w
+        tri_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, HW), 0)
+
+        def interp_mm(k, acc):
+            slot = k % NBUF
+
+            @pl.when(k + NBUF - 1 < nwin)
+            def _():
+                dma_one((k + NBUF - 1) % NBUF, get_wcid(k + NBUF - 1)).start()
+
+            cid = get_wcid(k)
+            dma_one(slot, cid).wait()
+            mask = win_cid == cid
+            # losers/uncovered index CHUNK_SIZE → all-zero one-hot column
+            local = jnp.where(mask, cand - cid * CHUNK_SIZE, CHUNK_SIZE)
+            onehot = (tri_iota == local.reshape(1, HW)).astype(jnp.float32)
+            ct = fat_buf[slot].T[:P2_M]          # (P2_M, CHUNK_SIZE)
+            return acc + jnp.dot(ct, onehot,
+                                 preferred_element_type=jnp.float32)
+
+        resolved = jax.lax.fori_loop(
+            0, nwin, interp_mm, jnp.zeros((P2_M, HW), jnp.float32))
+        covered = cand >= 0
+
+        def row(c):
+            return resolved[c:c + 1, :].reshape(tile_h, tile_w)
+
+        def rint(c, default):
+            # records store ints as exact f32; the matmul resolve is exact
+            # too (one-hot selection), but round defensively before casting
+            v = (row(c) + 0.5).astype(jnp.int32)
+            return jnp.where(covered, v, default)
+
+        l1 = row(3) * X + row(4) * Y + row(5)
+        l2 = row(6) * X + row(7) * Y + row(8)
+        lsum = row(LSUM0) * X + row(LSUM0 + 1) * Y + row(LSUM0 + 2)
+        lsafe = jnp.where(lsum != 0.0, lsum, 1e-30)
+        w1 = l1 / lsafe
+        w2 = l2 / lsafe
+        for c in range(USED):
+            vary_ref[c] = (row(REC0 + c) + row(REC0 + USED + c) * w1
+                           + row(REC0 + 2 * USED + c) * w2)
+        mat_ref[:] = rint(PAR0, 0)
+        tw_ref[:] = rint(PAR0 + 1, 1)
+        th_ref[:] = rint(PAR0 + 2, 1)
+        base_ref[:] = jnp.where(
+            covered, rint(PAR0 + 3, 0) * 65536 + rint(PAR0 + 4, 0), 0)
+        bw_ref[:] = rint(PAR0 + 5, 1)
+        tid_ref[:] = cand
+        return
+
     def interp_body(k, _):
         slot = k % NBUF
 
@@ -679,6 +748,8 @@ def _fused_kernel(lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
 
         def g(c):
             lut = jnp.broadcast_to(ct[c][None, :], (tile_h, tile_w))
+            if P2LUT == "broadcast":
+                return lut
             return jnp.take_along_axis(lut, local, axis=1)
 
         l1 = g(3) * X + g(4) * Y + g(5)

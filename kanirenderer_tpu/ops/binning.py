@@ -45,6 +45,29 @@ _MASK_PRUNE = _os.environ.get("KANI_MASK_PRUNE", "1") != "0"
 _PACK_SORT = _os.environ.get("KANI_PACK_SORT", "1") != "0"
 
 
+class StreamBins(NamedTuple):
+    """Flat run-stream binning output (KANI_BIN=stream, the default).
+
+    The packed-block layout (``TileBins.packed``) regroups the sorted
+    (tile, chunk) stream into dense per-tile blocks with three (510, 768)
+    element gathers — measured ~10 ms at 1080p/257K tris (TPU gathers cost
+    ~9 ns/pick however they are phrased; jobs 347-356).  The stream layout
+    skips regrouping entirely: the kernel windows into the SORTED global
+    run stream with per-tile (row, lane-offset, count) scalars delivered
+    by Pallas scalar prefetch, so the host side is just the one key sort
+    (+1 compaction sort) it already paid.
+    """
+
+    header: Array      # (3, num_tiles) i32: [stream row, lane offset,
+    #                    run count] per tile — scalar-prefetched to SMEM
+    stream: Array      # (NR, 2, 128) i32 — [:, 0] run entries
+    #                    ``(tile·cpad + cid0)·8 + len`` with cpad =
+    #                    ``stream_cpad_for(C)``, [:, 1] per-run
+    #                    MASK_BITS-per-chunk subbatch masks; each tile's
+    #                    runs are a contiguous lane range
+    overflow: Array    # () i32 — run-capacity + global-cap drops
+
+
 class TileBins(NamedTuple):
     tile_lists: Array   # (tiles_y, tiles_x, L) i32 chunk ids, -1 padded
     tile_counts: Array  # (tiles_y, tiles_x) i32 valid prefix length
@@ -117,27 +140,27 @@ def _pack_runs(lists: Array, masks: Array, num_tiles: int) -> Array:
     return jnp.concatenate([flat, mflat], axis=1).reshape(num_tiles, 16, 128)
 
 
-@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
-                                   "max_tiles_per_chunk", "max_chunks_per_tile",
-                                   "max_global_chunks"))
-def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
-               tile_h: int, max_tiles_per_chunk: int = 16,
-               max_chunks_per_tile: int = 256,
-               max_global_chunks: int = 256,
-               clipfree: Array | None = None) -> TileBins:
-    """bbox: (T, 4) f32 per-triangle pixel bounds from triangle_setup
-    (invalid triangles carry empty boxes).
+class _Expansion(NamedTuple):
+    """Shared (tile, chunk) expansion for both binning layouts."""
 
-    ``clipfree``: optional (T,) bool (TriangleSetup.clipfree).  Under
-    KANI_CLIPFREE=1 each packed mask field carries the chunk-level AND as
-    its top bit (bit SUBS_PER_CHUNK), steering the kernels' fast coverage
-    path."""
+    C: int
+    tile_id: Array      # (C, S) i32 tile of each expansion slot
+    chunk_id: Array     # (C, 1) i32
+    valid_slot: Array   # (C, S) bool
+    mexp: Array         # (C, S) i32 subbatch bits (+ clip-free top bit)
+    glob: Array         # (C,) bool — span > S chunks
+    cf_bit: Array | None
+    subbatch_bits: object  # callable for the global-chunk masks
+    sx0: Array
+    sy0: Array
+    sx1: Array
+    sy1: Array
+
+
+def _expand(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
+            tile_h: int, S: int, clipfree: Array | None) -> _Expansion:
     T = bbox.shape[0]
     C = T // CHUNK_SIZE
-    S = max_tiles_per_chunk
-    K = max_chunks_per_tile
-    G = max_global_chunks
-    num_tiles = tiles_x * tiles_y
 
     # One relayout to planar (4, T) first: reducing the (C, CHUNK, 4)
     # row-major view costs ~10 ms at 257K triangles (a 4-wide minor dim
@@ -182,7 +205,7 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     small = nonempty & (span <= S)
     glob = nonempty & (span > S)
 
-    # --- expansion: (C, S) keys ---
+    # --- expansion: (C, S) slots ---
     slots = jnp.arange(S, dtype=jnp.int32)[None, :]     # (1, S)
     dx = slots % span_w[:, None]
     dy = slots // span_w[:, None]
@@ -190,9 +213,7 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     tyi = ty0[:, None] + dy
     tile_id = tyi * tiles_x + txi
     chunk_id = jnp.arange(C, dtype=jnp.int32)[:, None]
-    key = tile_id * C + chunk_id
     valid_slot = small[:, None] & (slots < span[:, None])
-    key = jnp.where(valid_slot, key, _SENTINEL)
     # subbatch masks ride the sort as a payload
     mexp = subbatch_bits(txi, tyi, sx0[:, None], sy0[:, None],
                          sx1[:, None], sy1[:, None])
@@ -204,6 +225,38 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     else:
         cf_bit = None
     mexp = jnp.where(valid_slot, mexp, 0)
+    return _Expansion(C=C, tile_id=tile_id, chunk_id=chunk_id,
+                      valid_slot=valid_slot, mexp=mexp, glob=glob,
+                      cf_bit=cf_bit, subbatch_bits=subbatch_bits,
+                      sx0=sx0, sy0=sy0, sx1=sx1, sy1=sy1)
+
+
+@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
+                                   "max_tiles_per_chunk", "max_chunks_per_tile",
+                                   "max_global_chunks"))
+def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
+               tile_h: int, max_tiles_per_chunk: int = 16,
+               max_chunks_per_tile: int = 256,
+               max_global_chunks: int = 256,
+               clipfree: Array | None = None) -> TileBins:
+    """bbox: (T, 4) f32 per-triangle pixel bounds from triangle_setup
+    (invalid triangles carry empty boxes).
+
+    ``clipfree``: optional (T,) bool (TriangleSetup.clipfree).  Under
+    KANI_CLIPFREE=1 each packed mask field carries the chunk-level AND as
+    its top bit (bit SUBS_PER_CHUNK), steering the kernels' fast coverage
+    path."""
+    S = max_tiles_per_chunk
+    K = max_chunks_per_tile
+    G = max_global_chunks
+    num_tiles = tiles_x * tiles_y
+
+    ex = _expand(bbox, tiles_x, tiles_y, tile_w, tile_h, S, clipfree)
+    C = ex.C
+    valid_slot, mexp, glob, cf_bit = ex.valid_slot, ex.mexp, ex.glob, ex.cf_bit
+    subbatch_bits = ex.subbatch_bits
+    sx0, sy0, sx1, sy1 = ex.sx0, ex.sy0, ex.sx1, ex.sy1
+    key = jnp.where(valid_slot, ex.tile_id * C + ex.chunk_id, _SENTINEL)
 
     # The (tile, chunk) key needs ⌈log2(num_tiles·C)⌉ bits and the
     # mask field MASK_BITS more; when they fit one int32 together, pack
@@ -301,4 +354,125 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
         packed=packed,
         num_chunks=C,
         overflow=(tile_dropped + glob_dropped).astype(jnp.int32),
+    )
+
+
+def stream_win_rows(K: int, G: int) -> int:
+    """SMEM window rows covering any (lane offset < 128) + (count ≤ K+G)."""
+    return (K + G + 127 + 127) // 128
+
+
+def stream_cpad_for(C: int) -> int:
+    """Static pow2 > C for the stream entry encoding: runs can never
+    bridge a tile boundary (the key step across tiles is ≥ 2) and the
+    kernel's cid0 decode is a pow2 modulo."""
+    return 1 << max(C.bit_length(), 1)
+
+
+@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
+                                   "max_tiles_per_chunk", "max_chunks_per_tile",
+                                   "max_global_chunks"))
+def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
+               tile_h: int, max_tiles_per_chunk: int = 16,
+               max_chunks_per_tile: int = 256,
+               max_global_chunks: int = 256,
+               clipfree: Array | None = None) -> StreamBins:
+    """Flat run-stream binning (see StreamBins).
+
+    Same inputs/semantics as ``bin_chunks`` but the output stays in the
+    sorted global order — no per-tile regrouping gathers.  Differences:
+    mask pruning is always on (entries no subbatch of which overlaps the
+    tile are exactly removable), and the per-tile capacity cap counts RUN
+    entries against ``max_chunks_per_tile + max_global_chunks`` rather
+    than chunk entries against each cap separately."""
+    S = max_tiles_per_chunk
+    K = max_chunks_per_tile
+    G = max_global_chunks
+    R = RUN_CHUNKS
+    nsb = MASK_BITS
+    num_tiles = tiles_x * tiles_y
+
+    ex = _expand(bbox, tiles_x, tiles_y, tile_w, tile_h, S, clipfree)
+    C = ex.C
+    cpad = stream_cpad_for(C)
+    if num_tiles * cpad >= (2**31 - 2) >> max(nsb, 3):
+        raise ValueError("stream binning key overflow: use bin_chunks")
+
+    sub_lo = (1 << SUBS_PER_CHUNK) - 1
+    # Local slots, pruned by subbatch mask (exact: no overlapping subbatch
+    # bbox ⇒ no covered pixel possible).
+    lvalid = ex.valid_slot & ((ex.mexp & sub_lo) != 0)
+    lkey = ex.tile_id * cpad + ex.chunk_id
+    lpacked = jnp.where(lvalid, lkey * (1 << nsb) + ex.mexp, _SENTINEL)
+
+    # Global chunks (span > S tiles): enumerated densely per tile — the
+    # (num_tiles, G) mask table is computed here either way, and adding
+    # the keys to the one sort replaces the packed path's per-tile append
+    # machinery.
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    gkey_src = jnp.where(ex.glob, jnp.arange(C, dtype=jnp.int32), _SENTINEL)
+    gsorted = jnp.sort(gkey_src)[:G]
+    gids = jnp.where(gsorted == _SENTINEL, -1, gsorted)
+    glob_dropped = jnp.maximum(ex.glob.sum() - G, 0)
+    gc = jnp.clip(gids, 0, C - 1)
+    gmask = ex.subbatch_bits(
+        (tids % tiles_x)[:, None], (tids // tiles_x)[:, None],
+        ex.sx0[gc][None], ex.sy0[gc][None],
+        ex.sx1[gc][None], ex.sy1[gc][None])          # (num_tiles, G)
+    if ex.cf_bit is not None:
+        gmask = gmask | ex.cf_bit[gc][None]
+    gvalid = (gids >= 0)[None, :] & ((gmask & sub_lo) != 0)
+    gkey = tids[:, None] * cpad + gc[None, :]
+    gpacked = jnp.where(gvalid, gkey * (1 << nsb) + gmask, _SENTINEL)
+
+    packed_all = jnp.concatenate([lpacked.reshape(-1), gpacked.reshape(-1)])
+    spk = jnp.sort(packed_all)                       # ONE global sort
+    N = packed_all.shape[0]
+    skey = spk >> nsb                                # tile·cpad + cid
+    valid = spk != _SENTINEL
+    smsk = spk & ((1 << nsb) - 1)
+
+    # Run detection on the sorted stream (the flat analog of _pack_runs):
+    # break where the key step ≠ +1 — tile boundaries always break because
+    # cpad > C.
+    idx = jnp.arange(N, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), skey[:-1]])
+    brk = valid & (skey != prev + 1)
+    first = jax.lax.cummax(jnp.where(brk, idx, -1))
+    pos = idx - first
+    newrun = valid & (brk | (pos % R == 0))
+    stop = newrun | ~valid
+    ln = jnp.ones_like(skey)
+    rmask = jnp.where(valid, smsk, 0)
+    alive = jnp.ones_like(valid)
+    for k in range(1, R):
+        nxt = jnp.concatenate([stop[k:], jnp.ones((k,), bool)])
+        alive = alive & ~nxt
+        ln = ln + alive.astype(jnp.int32)
+        mk = jnp.concatenate([smsk[k:], jnp.zeros((k,), smsk.dtype)])
+        rmask = rmask | jnp.where(alive, mk << (nsb * k), 0)
+
+    # Compact run starts with one more sort (entry order == key order, so
+    # each tile's runs stay a contiguous, cid-sorted range).
+    entries = jnp.where(newrun, skey * 8 + ln, _SENTINEL)
+    es, em = jax.lax.sort((entries, rmask), dimension=0, num_keys=1)
+
+    rstarts = jnp.searchsorted(es, tids * (cpad * 8)).astype(jnp.int32)
+    rends = jnp.searchsorted(es, (tids + 1) * (cpad * 8)).astype(jnp.int32)
+    raw = rends - rstarts
+    cap = K + G
+    counts = jnp.minimum(raw, cap)
+    run_dropped = jnp.maximum(raw - cap, 0).sum()
+
+    header = jnp.stack([rstarts // 128, rstarts % 128, counts])
+
+    W = stream_win_rows(K, G)
+    NR = -(-N // 128) + W                            # guard rows for the
+    pad = NR * 128 - N                               # fixed-size window DMA
+    es = jnp.pad(es, (0, pad), constant_values=-1).reshape(NR, 128)
+    em = jnp.pad(em, (0, pad)).reshape(NR, 128)
+    return StreamBins(
+        header=header,
+        stream=jnp.stack([es, em], axis=1),
+        overflow=(run_dropped + glob_dropped).astype(jnp.int32),
     )

@@ -40,6 +40,11 @@ from kanirenderer_tpu.ops.vertex import NS, TriangleSetup
 Array = jnp.ndarray
 
 NBUF = int(_os.environ.get("KANI_NBUF", "4"))  # chunk DMA pipeline depth
+# Binning layout: "stream" (default) = flat sorted run stream + per-tile
+# (row, offset, count) scalars via Pallas scalar prefetch; "block" = the
+# dense per-tile packed blocks.  The stream layout skips the packed
+# path's ~10 ms of per-tile regrouping gathers (binning.StreamBins).
+BIN_MODE = _os.environ.get("KANI_BIN", "stream")
 # Per-subbatch bbox rejection (via the binner's precomputed mask bits) can
 # be disabled for measurement: KANI_SUBBATCH_SKIP=0 evaluates every
 # subbatch of every listed chunk.
@@ -132,7 +137,7 @@ def _run_guard(mk, cf, k, ln):
     return mk > 0
 
 
-def _clipfree_slow_pass(count, get_entry, get_mask, dma, chunk_buf,
+def _clipfree_slow_pass(count, get_run, get_mask, dma, chunk_buf,
                         eval_subbatch):
     """Second pass over chunks the binner could not certify clip-free
     (rare — near-plane crossers, z>w overshoots, sliver-overflow guards).
@@ -140,8 +145,7 @@ def _clipfree_slow_pass(count, get_entry, get_mask, dma, chunk_buf,
     one, then a traced chunk loop (a single eval_subbatch expansion per
     subbatch position instead of RUN_CHUNKS unrolled copies)."""
     def slow_body(s, _):
-        entry = get_entry(s)
-        cid0 = entry // 16
+        cid0, _ln = get_run(s)
         mask = get_mask(s)
         need = None
         for k in range(RUN_CHUNKS):
@@ -176,18 +180,64 @@ def _clipfree_slow_pass(count, get_entry, get_mask, dma, chunk_buf,
     jax.lax.fori_loop(0, count, slow_body, 0)
 
 
-def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
+def _list_plumbing(hdr_ref, lists_hbm, list_smem, list_sem, tile_id, *,
+                   stream_cpad):
+    """Per-tile run-list access for both binning layouts.
+
+    Returns (start_fetch, wait_fetch, get_count, get_run, get_mask):
+    ``stream_cpad`` None = packed-block layout (one (16, 128) block per
+    tile: [count, cid0·16+len entries …, per-run masks …]); an int = the
+    flat stream layout (binning.StreamBins: window rows [row0, row0+W) of
+    the (NR, 2, 128) stream + scalar-prefetched (row0, offset, count))."""
+    if stream_cpad is None:
+        dma = pltpu.make_async_copy(lists_hbm.at[tile_id], list_smem,
+                                    list_sem)
+
+        def get_count():
+            return list_smem[0, 0]
+
+        def get_run(s):
+            t = s + 1
+            e = list_smem[t // 128, t % 128]
+            return e // 16, e % 16
+
+        def get_mask(s):
+            # Per-run subbatch bits (second half of the packed block).
+            return list_smem[8 + s // 128, s % 128]
+    else:
+        row0 = hdr_ref[0, tile_id]
+        loff = hdr_ref[1, tile_id]
+        W = list_smem.shape[0]
+        dma = pltpu.make_async_copy(lists_hbm.at[pl.ds(row0, W)], list_smem,
+                                    list_sem)
+
+        def get_count():
+            return hdr_ref[2, tile_id]
+
+        def get_run(s):
+            t = loff + s
+            e = list_smem[t // 128, 0, t % 128]
+            return (e // 8) % stream_cpad, e % 8
+
+        def get_mask(s):
+            t = loff + s
+            return list_smem[t // 128, 1, t % 128]
+
+    return dma.start, dma.wait, get_count, get_run, get_mask
+
+
+def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
                    b1_ref, b2_ref, list_smem, chunk_buf, list_sem, sem, *,
                    tile_h, tile_w, tiles_x, wireframe, wire_thresh,
-                   depth_only):
+                   depth_only, stream_cpad):
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile_id = i * tiles_x + j
 
-    # Fetch this tile's packed run list [count, cid0·16+len, ...] into SMEM.
-    list_dma = pltpu.make_async_copy(lists_hbm.at[tile_id], list_smem,
-                                     list_sem)
-    list_dma.start()
+    start_fetch, wait_fetch, get_count, get_run, get_mask = _list_plumbing(
+        hdr_ref, lists_hbm, list_smem, list_sem, tile_id,
+        stream_cpad=stream_cpad)
+    start_fetch()
 
     z_ref[:] = jnp.ones_like(z_ref)
     if not depth_only:
@@ -195,16 +245,8 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
         b1_ref[:] = jnp.zeros_like(b1_ref)
         b2_ref[:] = jnp.zeros_like(b2_ref)
 
-    list_dma.wait()
-    count = list_smem[0, 0]
-
-    def get_entry(s):
-        t = s + 1
-        return list_smem[t // 128, t % 128]
-
-    def get_mask(s):
-        # Per-run subbatch overlap bits (second half of the packed block).
-        return list_smem[8 + s // 128, s % 128]
+    wait_fetch()
+    count = get_count()
 
     def dma(slot, cid0):
         # One DMA per RUN: RUN_CHUNKS consecutive chunks' setup rows
@@ -219,7 +261,7 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
     for w in range(NBUF - 1):
         @pl.when(w < count)
         def _(w=w):
-            dma(w % NBUF, get_entry(w) // 16).start()
+            dma(w % NBUF, get_run(w)[0]).start()
 
     tx0f = (j * tile_w).astype(jnp.float32)
     ty0f = (i * tile_h).astype(jnp.float32)
@@ -322,11 +364,9 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
 
         @pl.when(s + NBUF - 1 < count)
         def _():
-            dma((s + NBUF - 1) % NBUF, get_entry(s + NBUF - 1) // 16).start()
+            dma((s + NBUF - 1) % NBUF, get_run(s + NBUF - 1)[0]).start()
 
-        entry = get_entry(s)
-        cid0 = entry // 16
-        ln = entry % 16
+        cid0, ln = get_run(s)
         mask = get_mask(s)
         dma(slot, cid0).wait()
 
@@ -355,15 +395,23 @@ def _raster_kernel(lists_hbm, setup_hbm, z_ref, tri_ref,
     jax.lax.fori_loop(0, count, run_body, 0)
 
     if CLIPFREE:
-        _clipfree_slow_pass(count, get_entry, get_mask, dma, chunk_buf,
+        _clipfree_slow_pass(count, get_run, get_mask, dma, chunk_buf,
                             eval_subbatch)
 
 
-def _run(setup: Array, bins: binning.TileBins,
-         width: int, height: int,
+def _list_scratch(num_chunks: int, cfg_k: int, cfg_g: int, bins):
+    """(scratch shape, extra leading operands, stream_cpad) per layout."""
+    if isinstance(bins, binning.StreamBins):
+        W = binning.stream_win_rows(cfg_k, cfg_g)
+        return (pltpu.SMEM((W, 2, 128), jnp.int32),
+                [bins.header, bins.stream],
+                binning.stream_cpad_for(num_chunks))
+    return (pltpu.SMEM((16, 128), jnp.int32), [bins.packed], None)
+
+
+def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
          tile_w: int, tile_h: int, wireframe: bool, wire_thresh: float,
-         depth_only: bool):
-    tiles_y, tiles_x, L = bins.tile_lists.shape
+         depth_only: bool, cfg_k: int, cfg_g: int):
     C = setup.shape[0] // CHUNK_SIZE
     # RUN_CHUNKS-1 zero tail chunks keep the fixed-size run DMA in-bounds
     # for runs starting near the end.  NOTE: all-zero pad rows would pass
@@ -379,69 +427,101 @@ def _run(setup: Array, bins: binning.TileBins,
                       ((0, RUN_CHUNKS - 1), (0, 0), (0, REC_WIDTH - NS)))
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
 
+    list_scratch, list_ops, stream_cpad = _list_scratch(C, cfg_k, cfg_g, bins)
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
-        wireframe=wireframe, wire_thresh=wire_thresh, depth_only=depth_only)
+        wireframe=wireframe, wire_thresh=wire_thresh, depth_only=depth_only,
+        stream_cpad=stream_cpad)
 
+    stream = stream_cpad is not None
+    bmap = ((lambda i, j, hdr: (i, j)) if stream else (lambda i, j: (i, j)))
     out_shape = [jax.ShapeDtypeStruct((ph, pw), jnp.float32)]
-    out_specs = [pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j))]
+    out_specs = [pl.BlockSpec((tile_h, tile_w), bmap)]
     if not depth_only:
         out_shape += [jax.ShapeDtypeStruct((ph, pw), jnp.int32),
                       jax.ShapeDtypeStruct((ph, pw), jnp.float32),
                       jax.ShapeDtypeStruct((ph, pw), jnp.float32)]
-        out_specs += [pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j))] * 3
+        out_specs += [pl.BlockSpec((tile_h, tile_w), bmap)] * 3
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),  # packed tile lists
+        pl.BlockSpec(memory_space=pltpu.ANY),  # run lists (packed / stream)
         pl.BlockSpec(memory_space=pltpu.ANY),  # chunk setup rows
     ]
+    scratch_shapes = [
+        list_scratch,
+        pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, REC_WIDTH), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+    ]
 
-    if depth_only:
-        def kern(lists_hbm, setup_hbm, z_ref, list_smem, chunk_buf,
-                 list_sem, sem):
-            kernel(lists_hbm, setup_hbm, z_ref, None, None, None,
-                   list_smem, chunk_buf, list_sem, sem)
+    if stream:
+        if depth_only:
+            def kern(hdr, lists_hbm, setup_hbm, z_ref, list_smem, chunk_buf,
+                     list_sem, sem):
+                kernel(hdr, lists_hbm, setup_hbm, z_ref, None, None, None,
+                       list_smem, chunk_buf, list_sem, sem)
+        else:
+            kern = kernel
+        outs = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(tiles_y, tiles_x),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(*list_ops, setup_c)
     else:
-        kern = kernel
-
-    outs = pl.pallas_call(
-        kern,
-        grid=(tiles_y, tiles_x),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.SMEM((16, 128), jnp.int32),
-            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, REC_WIDTH),
-                       jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-        ],
-        interpret=_interpret(),
-    )(bins.packed, setup_c)
+        if depth_only:
+            def kern(lists_hbm, setup_hbm, z_ref, list_smem, chunk_buf,
+                     list_sem, sem):
+                kernel(None, lists_hbm, setup_hbm, z_ref, None, None, None,
+                       list_smem, chunk_buf, list_sem, sem)
+        else:
+            def kern(lists_hbm, setup_hbm, *rest):
+                kernel(None, lists_hbm, setup_hbm, *rest)
+        outs = pl.pallas_call(
+            kern,
+            grid=(tiles_y, tiles_x),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=_interpret(),
+        )(*list_ops, setup_c)
     return outs
+
+
+def _bin(bbox, tiles_x, tiles_y, tile_w, tile_h, S, K, G, clipfree):
+    binner = binning.bin_stream if BIN_MODE == "stream" else binning.bin_chunks
+    return binner(bbox, tiles_x, tiles_y, tile_w, tile_h, S, K, G,
+                  clipfree=clipfree)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "wireframe"))
 def rasterize(st: TriangleSetup, config: RenderConfig,
               wireframe: bool = False) -> VisBuffer:
     cfg = config
-    bins = binning.bin_chunks(
-        st.bbox, cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h,
-        cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
-        cfg.max_global_chunks, clipfree=st.clipfree)
-    z, tri, b1, b2 = _run(st.setup, bins, cfg.width, cfg.height, cfg.tile_w,
-                          cfg.tile_h, wireframe, cfg.wire_thresh_px, False)
+    bins = _bin(st.bbox, cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h,
+                cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
+                cfg.max_global_chunks, st.clipfree)
+    z, tri, b1, b2 = _run(st.setup, bins, cfg.tiles_x, cfg.tiles_y,
+                          cfg.tile_w, cfg.tile_h, wireframe,
+                          cfg.wire_thresh_px, False,
+                          cfg.max_chunks_per_tile, cfg.max_global_chunks)
     H, W = cfg.height, cfg.width
     return VisBuffer(tri=tri[:H, :W], z=z[:H, :W],
                      bary=jnp.stack([b1[:H, :W], b2[:H, :W]], axis=-1))
 
 
-def _fused_kernel(lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
+def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                   tw_ref, th_ref, base_ref, bw_ref, tid_ref, list_smem,
                   chunk_buf, fat_buf, cand_ref, win_smem, cnt_smem,
                   list_sem, sem, *, tile_h,
-                  tile_w, tiles_x, wireframe, wire_thresh):
+                  tile_w, tiles_x, wireframe, wire_thresh, stream_cpad):
     """Raster + interpolate in one pass over the tile's run list.
 
     Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
@@ -464,23 +544,16 @@ def _fused_kernel(lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     j = pl.program_id(1)
     tile_id = i * tiles_x + j
 
-    list_dma = pltpu.make_async_copy(lists_hbm.at[tile_id], list_smem,
-                                     list_sem)
-    list_dma.start()
+    start_fetch, wait_fetch, get_count, get_run, get_mask = _list_plumbing(
+        hdr_ref, lists_hbm, list_smem, list_sem, tile_id,
+        stream_cpad=stream_cpad)
+    start_fetch()
 
     z_ref[:] = jnp.ones_like(z_ref)
     cand_ref[:] = jnp.full_like(cand_ref, -1)
 
-    list_dma.wait()
-    count = list_smem[0, 0]
-
-    def get_entry(s):
-        t = s + 1
-        return list_smem[t // 128, t % 128]
-
-    def get_mask(s):
-        # Per-run subbatch overlap bits (second half of the packed block).
-        return list_smem[8 + s // 128, s % 128]
+    wait_fetch()
+    count = get_count()
 
     def dma(slot, cid0):
         return pltpu.make_async_copy(
@@ -490,7 +563,7 @@ def _fused_kernel(lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     for w in range(NBUF - 1):
         @pl.when(w < count)
         def _(w=w):
-            dma(w % NBUF, get_entry(w) // 16).start()
+            dma(w % NBUF, get_run(w)[0]).start()
 
     tx0f = (j * tile_w).astype(jnp.float32)
     ty0f = (i * tile_h).astype(jnp.float32)
@@ -567,11 +640,9 @@ def _fused_kernel(lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
 
         @pl.when(s + NBUF - 1 < count)
         def _():
-            dma((s + NBUF - 1) % NBUF, get_entry(s + NBUF - 1) // 16).start()
+            dma((s + NBUF - 1) % NBUF, get_run(s + NBUF - 1)[0]).start()
 
-        entry = get_entry(s)
-        cid0 = entry // 16
-        ln = entry % 16
+        cid0, ln = get_run(s)
         mask = get_mask(s)
         dma(slot, cid0).wait()
 
@@ -600,7 +671,7 @@ def _fused_kernel(lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     jax.lax.fori_loop(0, count, run_body, 0)
 
     if CLIPFREE:
-        _clipfree_slow_pass(count, get_entry, get_mask, dma, chunk_buf,
+        _clipfree_slow_pass(count, get_run, get_mask, dma, chunk_buf,
                             eval_subbatch)
 
     # ---- phase 2: winner-chunk record interpolation ----
@@ -628,9 +699,7 @@ def _fused_kernel(lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     cnt_smem[0, 0] = 0
 
     def compact_body(s, _):
-        entry = get_entry(s)
-        cid0 = entry // 16
-        ln = entry % 16
+        cid0, ln = get_run(s)
 
         @pl.when(((win_cid >= cid0) & (win_cid < cid0 + ln)).any())
         def _():
@@ -781,41 +850,70 @@ def _fused_kernel(lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     jax.lax.fori_loop(0, nwin, interp_body, 0)
 
 
-def _run_fused(rec_c: Array, bins: binning.TileBins,
+def _run_fused(rec_c: Array, bins,
                tile_w: int, tile_h: int, tiles_x: int, tiles_y: int,
-               wireframe: bool, wire_thresh: float):
+               wireframe: bool, wire_thresh: float,
+               cfg_k: int, cfg_g: int):
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
+    C = rec_c.shape[0] - (RUN_CHUNKS - 1)   # rec_c carries the DMA tail pad
+    list_scratch, list_ops, stream_cpad = _list_scratch(C, cfg_k, cfg_g, bins)
     kernel = functools.partial(
         _fused_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
-        wireframe=wireframe, wire_thresh=wire_thresh)
+        wireframe=wireframe, wire_thresh=wire_thresh,
+        stream_cpad=stream_cpad)
 
+    stream = stream_cpad is not None
+    bmap = ((lambda i, j, hdr: (i, j)) if stream else (lambda i, j: (i, j)))
+    vmap_ = ((lambda i, j, hdr: (0, i, j)) if stream
+             else (lambda i, j: (0, i, j)))
     plane_f = jax.ShapeDtypeStruct((ph, pw), jnp.float32)
     plane_i = jax.ShapeDtypeStruct((ph, pw), jnp.int32)
-    bspec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j))
-    vspec = pl.BlockSpec((USED, tile_h, tile_w), lambda i, j: (0, i, j))
+    bspec = pl.BlockSpec((tile_h, tile_w), bmap)
+    vspec = pl.BlockSpec((USED, tile_h, tile_w), vmap_)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY)]
+    out_specs = [bspec, vspec] + [bspec] * 6
+    out_shape = [plane_f,
+                 jax.ShapeDtypeStruct((USED, ph, pw), jnp.float32),
+                 plane_i, plane_i, plane_i, plane_i, plane_i, plane_i]
+    scratch_shapes = [
+        list_scratch,
+        pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, REC_WIDTH), jnp.float32),
+        pltpu.VMEM((NBUF, CHUNK_SIZE, REC_WIDTH), jnp.float32),
+        pltpu.VMEM((tile_h, tile_w), jnp.int32),
+        pltpu.SMEM((8, 128), jnp.int32),
+        pltpu.SMEM((1, 1), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+    ]
+
+    if stream:
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(tiles_y, tiles_x),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(*list_ops, rec_c)
+
+    def kern(lists_hbm, rec_hbm, *rest):
+        kernel(None, lists_hbm, rec_hbm, *rest)
 
     return pl.pallas_call(
-        kernel,
+        kern,
         grid=(tiles_y, tiles_x),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[bspec, vspec] + [bspec] * 6,
-        out_shape=[plane_f,
-                   jax.ShapeDtypeStruct((USED, ph, pw), jnp.float32),
-                   plane_i, plane_i, plane_i, plane_i, plane_i, plane_i],
-        scratch_shapes=[
-            pltpu.SMEM((16, 128), jnp.int32),
-            pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, REC_WIDTH),
-                       jnp.float32),
-            pltpu.VMEM((NBUF, CHUNK_SIZE, REC_WIDTH), jnp.float32),
-            pltpu.VMEM((tile_h, tile_w), jnp.int32),
-            pltpu.SMEM((8, 128), jnp.int32),
-            pltpu.SMEM((1, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=_interpret(),
-    )(bins.packed, rec_c)
+    )(*list_ops, rec_c)
 
 
 @functools.partial(jax.jit,
@@ -855,10 +953,9 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
         rcols = jnp.array([2, 5, 8, 11, 14, LSUM0 + 2])
         records = records.at[:, rcols].add(records[:, rcols - 1] * y0f)
     tiles_y = -(-band_h // cfg.tile_h)
-    bins = binning.bin_chunks(
-        bbox, cfg.tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
-        cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
-        cfg.max_global_chunks, clipfree=st.clipfree)
+    bins = _bin(bbox, cfg.tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
+                cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
+                cfg.max_global_chunks, st.clipfree)
     C = setup.shape[0] // CHUNK_SIZE
     assert records.shape[1] == REC_WIDTH, \
         f"records must be {REC_WIDTH}-lane (got {records.shape[1]}) — " \
@@ -871,7 +968,8 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
 
     z, vary, mat, tw, th, base, bw, tid = _run_fused(
         rec_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, tiles_y,
-        wireframe, cfg.wire_thresh_px)
+        wireframe, cfg.wire_thresh_px,
+        cfg.max_chunks_per_tile, cfg.max_global_chunks)
     H, W = band_h, cfg.width
     return PixelBuffer(varyings=vary[:, :H, :W], mat_id=mat[:H, :W],
                        tex_w=tw[:H, :W], tex_h=th[:H, :W],
@@ -901,10 +999,10 @@ def rasterize_depth(st: TriangleSetup, config: RenderConfig,
         bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
     tiles_x = -(-dim // cfg.tile_w)
     tiles_y = -(-H // th)
-    bins = binning.bin_chunks(
-        bbox, tiles_x, tiles_y, cfg.tile_w, th,
-        cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
-        cfg.max_global_chunks, clipfree=st.clipfree)
-    (z,) = _run(setup, bins, dim, H, cfg.tile_w, th,
-                False, 0.0, True)
+    bins = _bin(bbox, tiles_x, tiles_y, cfg.tile_w, th,
+                cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
+                cfg.max_global_chunks, st.clipfree)
+    (z,) = _run(setup, bins, tiles_x, tiles_y, cfg.tile_w, th,
+                False, 0.0, True,
+                cfg.shadow_chunks_per_tile, cfg.max_global_chunks)
     return z[:H, :dim]

@@ -240,6 +240,52 @@ def test_overflow_surfaces_through_frame_outputs():
     assert int(out2.raster_overflow) == 0
 
 
+def test_stream_binning_matches_block(monkeypatch):
+    """KANI_BIN=stream (flat run stream + scalar-prefetch windows, the
+    default) must produce pixel-identical output to the packed-block
+    layout.  BIN_MODE is read at call time by raster_pallas._bin, so a
+    module attribute patch switches layouts without a reload."""
+    from kanirenderer_tpu.ops import interpolate, raster_pallas
+    from kanirenderer_tpu.ops.vertex import (run_vertex_stage_corners,
+                                             triangle_setup_corners)
+
+    scene = sponza_standin_scene(target_tris=6000, num_materials=4,
+                                 tex_size=32)
+    cfg = kani.RenderConfig(width=256, height=192, raster_backend="pallas")
+    st = _setup_for(scene, COURTYARD_CAM, cfg)
+    # Records with the setup rows prepended (the fused kernel's input).
+    vp = math3d.perspective(jnp.deg2rad(cfg.fovy_deg), cfg.aspect,
+                            cfg.znear, cfg.zfar) @ math3d.camera_view_matrix(
+        COURTYARD_CAM.position, COURTYARD_CAM.yaw, COURTYARD_CAM.pitch)
+    vout = run_vertex_stage_corners(
+        scene, scene.object_model, scene.object_normal, vp,
+        COURTYARD_CAM.position, kani.default_lights(),
+        jnp.eye(4, dtype=jnp.float32))
+    setup, planes = triangle_setup_corners(
+        vout.clip, scene.tri_valid, cfg.width, cfg.height,
+        cull_backfaces=True)
+    records = interpolate.build_tri_records_corners(
+        vout.varyings, planes, scene.tri_extra)
+
+    def pixels():
+        # __wrapped__ bypasses the jit cache — BIN_MODE is read at trace
+        # time, so a cached executable would ignore the patch below.
+        return raster_pallas.rasterize_pixels.__wrapped__(
+            setup, records, cfg, False, None, None)
+
+    monkeypatch.setattr(raster_pallas, "BIN_MODE", "stream")
+    ps = pixels()
+    monkeypatch.setattr(raster_pallas, "BIN_MODE", "block")
+    pb = pixels()
+    np.testing.assert_array_equal(np.asarray(ps.mask), np.asarray(pb.mask))
+    np.testing.assert_array_equal(np.asarray(ps.mat_id),
+                                  np.asarray(pb.mat_id))
+    np.testing.assert_array_equal(np.asarray(ps.z), np.asarray(pb.z))
+    np.testing.assert_array_equal(np.asarray(ps.varyings),
+                                  np.asarray(pb.varyings))
+    assert int(ps.overflow) == 0 and int(pb.overflow) == 0
+
+
 def test_packed_sort_matches_cosort_fallback(monkeypatch):
     """The single-array packed key sort (KANI_PACK_SORT=1, the default)
     must produce identical bins to the key+payload co-sort fallback."""

@@ -32,6 +32,7 @@ Shadow handling — two modes:
 
 import json
 import sys
+import os
 import time
 
 import numpy as np
@@ -62,7 +63,8 @@ def main() -> None:
     cfg = kani.RenderConfig(
         width=1920, height=1080, mode=kani.RenderMode.LIT_SHADOW,
         raster_backend="pallas" if on_tpu else "xla",
-        tile_h=32, max_tiles_per_chunk=128, max_chunks_per_tile=512,
+        tile_h=int(os.environ.get("KANI_TILE_H", 32)),
+        max_tiles_per_chunk=128, max_chunks_per_tile=512,
         max_global_chunks=256,
         # The executable the interactive loop ships: LDR surface emitted
         # as uint8 on-device (runtime/loop.py forces the same).
@@ -147,7 +149,6 @@ def main() -> None:
     # recorded artifact exists (the fresh-mode executable is a different
     # heavyweight program and must run in its own process on this runtime).
     try:
-        import os
         p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_FRESH.json")
         if not fresh and os.path.exists(p):

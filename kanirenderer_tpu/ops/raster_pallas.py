@@ -691,11 +691,14 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         tid_ref[:] = cand                 # keep the winner ids observable
         return
 
-    # Compact the winner CHUNK IDS into SMEM: only a handful of the tile's
+    # Compact the winner RUNS into SMEM: only a handful of the tile's
     # chunks actually win pixels, so phase 2's DMA pipeline (and every
-    # per-chunk sync) runs over the compacted list instead of the full
-    # one.  Per run, one range-reduce detects any winner; the per-chunk
-    # equality reduces only run for runs that have one.
+    # per-run sync) walks the compacted list instead of the full one.
+    # Each compacted entry is ``cid0·16 + winner-chunk bitmask`` — one
+    # run DMA then serves every winning chunk of the run (winner cids are
+    # Morton-adjacent, so multi-winner runs are the common case).  Per
+    # run, one range-reduce detects any winner; the per-chunk equality
+    # reduces only run for runs that have one.
     cnt_smem[0, 0] = 0
 
     def compact_body(s, _):
@@ -703,15 +706,14 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
 
         @pl.when(((win_cid >= cid0) & (win_cid < cid0 + ln)).any())
         def _():
+            kb = jnp.int32(0)
             for k in range(RUN_CHUNKS):
                 found = jnp.logical_and(k < ln,
                                         (win_cid == cid0 + k).any())
-
-                @pl.when(found)
-                def _(k=k):
-                    c = cnt_smem[0, 0]
-                    win_smem[c // 128, c % 128] = cid0 + k
-                    cnt_smem[0, 0] = c + 1
+                kb = kb + jnp.where(found, 1 << k, 0)
+            c = cnt_smem[0, 0]
+            win_smem[c // 128, c % 128] = cid0 * 16 + kb
+            cnt_smem[0, 0] = c + 1
         return 0
 
     jax.lax.fori_loop(0, count, compact_body, 0)
@@ -722,46 +724,56 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         mat_ref[:] = jnp.full_like(mat_ref, 0) + nwin  # observe compaction
         return
 
-    def get_wcid(k):
-        return win_smem[k // 128, k % 128]
+    def get_wrun(r):
+        e = win_smem[r // 128, r % 128]
+        return e // 16, e % 16
 
-    def dma_one(slot, cid):
+    def dma_wrun(slot, cid0):
         # Phase 2 streams the FAT record rows (setup + varyings + material
-        # params) — only winner chunks pay this fetch.
-        return pltpu.make_async_copy(rec_hbm.at[cid],
+        # params) — only runs with a winner pay this fetch.
+        return pltpu.make_async_copy(rec_hbm.at[pl.ds(cid0, RUN_CHUNKS)],
                                      fat_buf.at[slot], sem.at[slot])
 
-    # NBUF-deep DMA pipeline over the compacted winner list.
+    # NBUF-deep DMA pipeline over the compacted winner-run list.
     for w in range(NBUF - 1):
         @pl.when(w < nwin)
         def _(w=w):
-            dma_one(w % NBUF, get_wcid(w)).start()
+            dma_wrun(w % NBUF, get_wrun(w)[0]).start()
 
     if P2 == "mm":
         # MXU record resolve: per winner chunk, recordsᵀ(P2_M, CHUNK) @
         # one-hot(CHUNK, H·W) selects every pixel's winner-record lanes in
         # one matmul; chunks' one-hots are disjoint, so plain accumulation
         # replaces the per-chunk selects, and the varying/barycentric math
-        # runs ONCE per tile on the accumulated planes.
+        # runs ONCE per tile on the accumulated planes.  Non-winner chunks
+        # of a run contribute an all-zero one-hot, so the inner loop runs
+        # unconditionally.
         HW = tile_h * tile_w
         tri_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, HW), 0)
 
-        def interp_mm(k, acc):
-            slot = k % NBUF
+        def interp_mm(r, acc):
+            slot = r % NBUF
 
-            @pl.when(k + NBUF - 1 < nwin)
+            @pl.when(r + NBUF - 1 < nwin)
             def _():
-                dma_one((k + NBUF - 1) % NBUF, get_wcid(k + NBUF - 1)).start()
+                dma_wrun((r + NBUF - 1) % NBUF,
+                         get_wrun(r + NBUF - 1)[0]).start()
 
-            cid = get_wcid(k)
-            dma_one(slot, cid).wait()
-            mask = win_cid == cid
-            # losers/uncovered index CHUNK_SIZE → all-zero one-hot column
-            local = jnp.where(mask, cand - cid * CHUNK_SIZE, CHUNK_SIZE)
-            onehot = (tri_iota == local.reshape(1, HW)).astype(jnp.float32)
-            ct = fat_buf[slot].T[:P2_M]          # (P2_M, CHUNK_SIZE)
-            return acc + jnp.dot(ct, onehot,
-                                 preferred_element_type=jnp.float32)
+            cid0, _kb = get_wrun(r)
+            dma_wrun(slot, cid0).wait()
+
+            def k_body(k, acc):
+                cid = cid0 + k
+                mask = win_cid == cid
+                # losers/uncovered index CHUNK_SIZE → all-zero one-hot
+                local = jnp.where(mask, cand - cid * CHUNK_SIZE, CHUNK_SIZE)
+                onehot = (tri_iota == local.reshape(1, HW)).astype(
+                    jnp.float32)
+                ct = fat_buf[slot, k].T[:P2_M]   # (P2_M, CHUNK_SIZE)
+                return acc + jnp.dot(ct, onehot,
+                                     preferred_element_type=jnp.float32)
+
+            return jax.lax.fori_loop(0, RUN_CHUNKS, k_body, acc)
 
         resolved = jax.lax.fori_loop(
             0, nwin, interp_mm, jnp.zeros((P2_M, HW), jnp.float32))
@@ -794,19 +806,12 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         tid_ref[:] = cand
         return
 
-    def interp_body(k, _):
-        slot = k % NBUF
-
-        @pl.when(k + NBUF - 1 < nwin)
-        def _():
-            dma_one((k + NBUF - 1) % NBUF, get_wcid(k + NBUF - 1)).start()
-
-        cid = get_wcid(k)
-        dma_one(slot, cid).wait()
+    def interp_chunk(slot, k, cid):
+        """Resolve the winner records of run-chunk ``k`` (traced) from
+        the DMA'd run slab via lane-wise LUTs."""
         mask = win_cid == cid
-
         local = jnp.where(mask, cand - cid * CHUNK_SIZE, 0)
-        chunk = fat_buf[slot]          # (CHUNK_SIZE, REC_WIDTH)
+        chunk = fat_buf[slot, k]       # (CHUNK_SIZE, REC_WIDTH)
         if CHUNK_SIZE < 128:
             padded = jnp.concatenate(
                 [chunk,
@@ -845,6 +850,24 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         bw_ref[:] = jnp.where(mask, g(PAR0 + 5).astype(jnp.int32),
                               bw_ref[:])
         tid_ref[:] = jnp.where(mask, cand, tid_ref[:])
+
+    def interp_body(r, _):
+        slot = r % NBUF
+
+        @pl.when(r + NBUF - 1 < nwin)
+        def _():
+            dma_wrun((r + NBUF - 1) % NBUF, get_wrun(r + NBUF - 1)[0]).start()
+
+        cid0, kb = get_wrun(r)
+        dma_wrun(slot, cid0).wait()
+
+        def k_body(k, _):
+            @pl.when((kb >> k) % 2 > 0)
+            def _():
+                interp_chunk(slot, k, cid0 + k)
+            return 0
+
+        jax.lax.fori_loop(0, RUN_CHUNKS, k_body, 0)
         return 0
 
     jax.lax.fori_loop(0, nwin, interp_body, 0)
@@ -880,7 +903,7 @@ def _run_fused(rec_c: Array, bins,
     scratch_shapes = [
         list_scratch,
         pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, REC_WIDTH), jnp.float32),
-        pltpu.VMEM((NBUF, CHUNK_SIZE, REC_WIDTH), jnp.float32),
+        pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, REC_WIDTH), jnp.float32),
         pltpu.VMEM((tile_h, tile_w), jnp.int32),
         pltpu.SMEM((8, 128), jnp.int32),
         pltpu.SMEM((1, 1), jnp.int32),

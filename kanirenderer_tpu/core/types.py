@@ -249,7 +249,10 @@ class RenderConfig:
     max_global_chunks: int = 128    # chunks binned to every tile
     shadow_chunks_per_tile: int = 640  # per-tile cap for the shadow raster
     #   (ortho shadow projections concentrate geometry in few tiles)
-    shadow_tile_h: int = 64  # taller tiles suit the dense ortho projection
+    shadow_tile_h: int = 16  # re-swept under stream binning (r3): fresh
+    #                          1080p FPS 12.9/13.9/13.6/12.2/9.8 for tile
+    #                          8/16/32/64/128 — short tiles win once the
+    #                          per-tile list cost stopped dominating
     # Reuse the shadow map across frames while sun+geometry are static —
     # the steady-state behavior of the interactive loop (the reference
     # re-renders every frame, src/lib.rs:1721).  The loop implements this

@@ -29,7 +29,11 @@ Array = jnp.ndarray
 # Number of triangles per binning chunk.  Triangles are Morton-ordered at scene
 # build so consecutive chunks are spatially compact.  Env-overridable for
 # perf experiments (scene packing and the raster kernel both honor it).
-CHUNK_SIZE = int(_os.environ.get("KANI_CHUNK_SIZE", "64"))
+# 128 re-swept optimal under stream binning (interleaved A/B: 30.9 vs
+# 35.0 ms at 64, 41.8 at 32 — half the run-loop iterations and a
+# pad-free 128-lane phase-2 LUT).  NOTE: KANI_CLIPFREE=1 needs
+# CHUNK_SIZE ≤ 64 (run mask width; the assert below enforces it).
+CHUNK_SIZE = int(_os.environ.get("KANI_CHUNK_SIZE", "128"))
 
 # Max chunks per DMA run: the binner collapses up to RUN_CHUNKS consecutive
 # chunk ids in a tile's list into one entry, and the raster kernels fetch

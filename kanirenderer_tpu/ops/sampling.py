@@ -45,8 +45,9 @@ Array = jnp.ndarray
 _B = 8
 _WIN = _B + 3
 _LANE_ROW = jnp.asarray(np.minimum(np.arange(128) // _WIN, _WIN - 1),
-                        jnp.int32)
-_LANE_COL = jnp.asarray(np.arange(128) % _WIN, jnp.int32)
+                        jnp.float32)
+_LANE_COL = jnp.asarray(np.minimum(np.arange(128), _WIN * _WIN - 1) % _WIN,
+                        jnp.float32)
 # Zero weight on the 121..127 zero-padding lanes (their clamped row/col
 # aliases onto real window coordinates would otherwise pick up nonzero
 # weights and compare depth against the padding zeros).
@@ -62,8 +63,8 @@ MAT_WINX = MAT_BX + 1
 MAT_WINY = MAT_BY + 1
 MAT_LANES = MAT_WINX * MAT_WINY * 3
 _MLANE = np.minimum(np.arange(128), MAT_LANES - 1)
-_MLANE_ROW = jnp.asarray(_MLANE // (MAT_WINX * 3), jnp.int32)
-_MLANE_COL = jnp.asarray((_MLANE // 3) % MAT_WINX, jnp.int32)
+_MLANE_ROW = jnp.asarray(_MLANE // (MAT_WINX * 3), jnp.float32)
+_MLANE_COL = jnp.asarray((_MLANE // 3) % MAT_WINX, jnp.float32)
 # Per-channel lane-selector matrix (zero on the >MAT_LANES padding lanes).
 _MCH_T = jnp.asarray(
     np.stack([(np.arange(128) % 3 == c) & (np.arange(128) < MAT_LANES)
@@ -83,8 +84,8 @@ CMB_WINX = CMB_BX + 1
 CMB_WINY = CMB_BY + 1
 CMB_LANES = CMB_WINX * CMB_WINY * 6    # 120
 _CLANE = np.minimum(np.arange(128), CMB_LANES - 1)
-_CLANE_ROW = jnp.asarray(_CLANE // (CMB_WINX * 6), jnp.int32)
-_CLANE_COL = jnp.asarray((_CLANE // 6) % CMB_WINX, jnp.int32)
+_CLANE_ROW = jnp.asarray(_CLANE // (CMB_WINX * 6), jnp.float32)
+_CLANE_COL = jnp.asarray((_CLANE // 6) % CMB_WINX, jnp.float32)
 _CLANE_OK = np.arange(128) < CMB_LANES
 # per-lane decode scale: diffuse lanes hold round(sqrt(linear)·255)
 # (decode v²/65025), normal lanes raw u8 unorm (decode v/255)
@@ -135,17 +136,20 @@ def sample_materials_combined(tex_combined: Array, blk_base: Array,
     ly = y0i - by * CMB_BY
     row = blk_base + by * blk_w + bx
 
-    dxv = _CLANE_COL[None, None, :] - lx[..., None]
-    dyv = _CLANE_ROW[None, None, :] - ly[..., None]
-    wx = jnp.where(dxv == 0, 1.0 - fx[..., None], 0.0) \
-        + jnp.where(dxv == 1, fx[..., None], 0.0)
-    wy = jnp.where(dyv == 0, 1.0 - fy[..., None], 0.0) \
-        + jnp.where(dyv == 1, fy[..., None], 0.0)
+    # Bilinear weights as hat functions of the lane's texel distance from
+    # the in-window sample position (ax, ay): max(0, 1 − |lane − a|) hits
+    # 1−f at the anchor texel and f at its +1 neighbor — 5 VPU ops per
+    # axis instead of the 7 of the compare/select form (the stage is
+    # lane-math-bound around its one row gather).
+    ax = (lx.astype(jnp.float32) + fx)[..., None]
+    ay = (ly.astype(jnp.float32) + fy)[..., None]
+    wx = jnp.maximum(1.0 - jnp.abs(_CLANE_COL[None, None, :] - ax), 0.0)
+    wy = jnp.maximum(1.0 - jnp.abs(_CLANE_ROW[None, None, :] - ay), 0.0)
     wgt = wx * wy
 
     win = jnp.take(tex_combined, row, axis=0)             # (H, W, 128)
     w32 = win.astype(jnp.float32)
-    s = ((w32 * w32) * _C_DSCALE + w32 * _C_NSCALE) * wgt
+    s = (w32 * _C_DSCALE + _C_NSCALE) * w32 * wgt
     out6 = jax.lax.dot_general(
         s.reshape(-1, 128), _C_SEL,
         (((1,), (0,)), ((), ())),
@@ -201,12 +205,11 @@ def sample_materials_blocks(tex_diffuse: Array, tex_normal: Array,
     ly = y0i - by * MAT_BY
     row = blk_base + by * blk_w + bx
 
-    dxv = _MLANE_COL[None, None, :] - lx[..., None]
-    dyv = _MLANE_ROW[None, None, :] - ly[..., None]
-    wx = jnp.where(dxv == 0, 1.0 - fx[..., None], 0.0) \
-        + jnp.where(dxv == 1, fx[..., None], 0.0)
-    wy = jnp.where(dyv == 0, 1.0 - fy[..., None], 0.0) \
-        + jnp.where(dyv == 1, fy[..., None], 0.0)
+    # Hat-function bilinear weights (see sample_materials_combined).
+    ax = (lx.astype(jnp.float32) + fx)[..., None]
+    ay = (ly.astype(jnp.float32) + fy)[..., None]
+    wx = jnp.maximum(1.0 - jnp.abs(_MLANE_COL[None, None, :] - ax), 0.0)
+    wy = jnp.maximum(1.0 - jnp.abs(_MLANE_ROW[None, None, :] - ay), 0.0)
     wgt = wx * wy
 
     def tex(tbl, sqrt_encoded):
@@ -304,13 +307,15 @@ def sample_shadow_pcf(shadow_table: Array, dim: int, u: Array, v: Array,
     # Separable footprint weights over window lanes: a tap at window
     # offset (dy, dx) ∈ [0,4)² from the anchor (ly, lx) carries weight
     # wy[dy]·wx[dx] with wy = [1−fy, 1, 1, fy] — the row/col sums of the
-    # nine bilinear kernels.
-    dyv = _LANE_ROW[None, None, :] - ly[..., None]
-    dxv = _LANE_COL[None, None, :] - lx[..., None]
-    wy = (jnp.where(dyv == 0, 1.0 - fy[..., None], 0.0)
-          + ((dyv == 1) | (dyv == 2)).astype(jnp.float32)
-          + jnp.where(dyv == 3, fy[..., None], 0.0))
-    wx = (jnp.where(dxv == 0, 1.0 - fx[..., None], 0.0)
-          + ((dxv == 1) | (dxv == 2)).astype(jnp.float32)
-          + jnp.where(dxv == 3, fx[..., None], 0.0))
+    # nine bilinear kernels.  That profile is a trapezoid in the lane's
+    # distance d = lane_row − (ly + fy): clamp(min(d+1, 3−d), 0, 1) hits
+    # 1−fy, 1, 1, fy at d = −fy, 1−fy, 2−fy, 3−fy and 0 outside — 5 VPU
+    # ops per axis instead of the 8 of the compare/select formulation
+    # (this stage is lane-math-bound around one row gather).
+    ay = (ly.astype(jnp.float32) + fy)[..., None]
+    ax = (lx.astype(jnp.float32) + fx)[..., None]
+    dyv = _LANE_ROW[None, None, :] - ay
+    dxv = _LANE_COL[None, None, :] - ax
+    wy = jnp.clip(jnp.minimum(dyv + 1.0, 3.0 - dyv), 0.0, 1.0)
+    wx = jnp.clip(jnp.minimum(dxv + 1.0, 3.0 - dxv), 0.0, 1.0)
     return (cmp * wy * (wx * _LANE_OK)).sum(-1) / 9.0

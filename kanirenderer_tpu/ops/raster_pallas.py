@@ -1004,27 +1004,37 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
 
 @functools.partial(jax.jit, static_argnames=("config", "band_h"))
 def rasterize_depth(st: TriangleSetup, config: RenderConfig,
-                    band_h: int | None = None, y0=None) -> Array:
+                    band_h: int | None = None, y0=None,
+                    bins=None) -> Array:
     """Depth-only shadow-map raster (tiles over the shadow_dim square).
 
     ``band_h``/``y0`` restrict output to map rows [y0, y0+band_h) for the
     multi-chip sharded shadow pass — same traced-offset re-anchoring as
-    ``rasterize_pixels``."""
+    ``rasterize_pixels``.
+
+    ``bins``: optional precomputed binning output for ``st`` (the
+    light-space setup and its bins are camera-independent, so fresh-shadow
+    callers cache them across frames while the sun and geometry are
+    static — passes/frame.render_shadow_geometry).  Mutually exclusive
+    with ``y0`` (band re-anchoring shifts the bboxes the bins were built
+    from)."""
     cfg = config
     dim = cfg.shadow_dim
     th = cfg.shadow_tile_h
     setup, bbox = st.setup, st.bbox
     H = dim if band_h is None else band_h
     if y0 is not None:
+        assert bins is None, "precomputed bins are full-map only"
         y0f = jnp.asarray(y0, jnp.float32)
         cols = jnp.array([2, 5, 8, 11, 14])
         setup = setup.at[:, cols].add(setup[:, cols - 1] * y0f)
         bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
     tiles_x = -(-dim // cfg.tile_w)
     tiles_y = -(-H // th)
-    bins = _bin(bbox, tiles_x, tiles_y, cfg.tile_w, th,
-                cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
-                cfg.max_global_chunks, st.clipfree)
+    if bins is None:
+        bins = _bin(bbox, tiles_x, tiles_y, cfg.tile_w, th,
+                    cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
+                    cfg.max_global_chunks, st.clipfree)
     (z,) = _run(setup, bins, tiles_x, tiles_y, cfg.tile_w, th,
                 False, 0.0, True,
                 cfg.shadow_chunks_per_tile, cfg.max_global_chunks)

@@ -90,10 +90,11 @@ def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
 
 
 def _rasterize_depth(st, cfg: RenderConfig, band_h: int | None = None,
-                     y0=None):
+                     y0=None, bins=None):
     if cfg.raster_backend == "pallas":
         from kanirenderer_tpu.ops import raster_pallas
-        return raster_pallas.rasterize_depth(st, cfg, band_h=band_h, y0=y0)
+        return raster_pallas.rasterize_depth(st, cfg, band_h=band_h, y0=y0,
+                                             bins=bins)
     return raster_xla.rasterize_depth_xla(
         st.setup, cfg.shadow_dim, band_h=band_h,
         y_offset=0.0 if y0 is None else y0)
@@ -126,11 +127,64 @@ def render_shadow_map(scene: Scene, state: FrameState,
     return _rasterize_depth(sh_setup, cfg)
 
 
+@partial(jax.jit, static_argnames=("config",))
+def render_shadow_geometry(scene: Scene, state: FrameState,
+                           config: RenderConfig):
+    """(light-space TriangleSetup, bins) for the fresh-shadow pass.
+
+    Both are CAMERA-independent — they change only when the sun or the
+    geometry moves — so fresh-mode callers (the reference re-renders the
+    shadow map inside every frame, src/lib.rs:1721-1751) cache them across
+    frames and pass them to ``render_frame(shadow_geom=·)``: the map still
+    re-rasters per frame, but the per-frame light vertex transform, setup
+    and binning drop out.  ``bins`` is None on the XLA backend (its depth
+    raster is brute-force)."""
+    cfg = config
+    light_vp = math3d.directional_light_view_projection(
+        state.lights.directional.direction,
+        state.lights.directional.distance,
+        state.lights.directional.shadow_scene_size)
+    use_corners = (scene.corner_pos.shape[0] > 0
+                   and cfg.raster_backend == "pallas")
+    if use_corners:
+        vout = run_vertex_stage_corners(
+            scene, state.object_model, state.object_normal,
+            jnp.eye(4, dtype=jnp.float32), state.camera.position,
+            state.lights, light_vp)
+        sh_setup, _ = triangle_setup_corners(
+            vout.light_clip, scene.tri_valid,
+            cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
+            depth_bias_constant=cfg.shadow_bias_constant,
+            depth_bias_slope=cfg.shadow_bias_slope)
+    else:
+        model = state.object_model[scene.vertex_object]
+        world_pos = jnp.einsum(
+            "vij,vj->vi", model[:, :3, :3], scene.position,
+            precision=jax.lax.Precision.HIGHEST) + model[:, :3, 3]
+        light_clip = math3d.transform_points_h(light_vp, world_pos)
+        sh_setup = triangle_setup(
+            light_clip, scene.tri_idx, scene.tri_valid,
+            cfg.shadow_dim, cfg.shadow_dim, cull_backfaces=False,
+            depth_bias_constant=cfg.shadow_bias_constant,
+            depth_bias_slope=cfg.shadow_bias_slope)
+    bins = None
+    if cfg.raster_backend == "pallas":
+        from kanirenderer_tpu.ops import raster_pallas
+        tiles_x = -(-cfg.shadow_dim // cfg.tile_w)
+        tiles_y = -(-cfg.shadow_dim // cfg.shadow_tile_h)
+        bins = raster_pallas._bin(
+            sh_setup.bbox, tiles_x, tiles_y, cfg.tile_w, cfg.shadow_tile_h,
+            cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
+            cfg.max_global_chunks, sh_setup.clipfree)
+    return sh_setup, bins
+
+
 def render_band(scene: Scene, state: FrameState,
                 config: RenderConfig,
                 shadow_map: Array | None = None,
                 use_cached_shadow: Array | None = None,
                 *, shadow_table: Array | None = None,
+                shadow_geom=None,
                 band_h: int | None = None, y0=None,
                 shadow_axis: str | None = None,
                 shadow_bands: int = 1,
@@ -206,6 +260,13 @@ def render_band(scene: Scene, state: FrameState,
             "shadow_table is only valid for LIT_SHADOW without a raw map"
 
     def _fresh_shadow():
+        if shadow_geom is not None:
+            # Cached camera-independent light-space setup (+ bins) — see
+            # render_shadow_geometry.  The map itself still re-rasters.
+            assert shadow_axis is None or shadow_bands <= 1, \
+                "shadow_geom is full-map only (banded rasters re-anchor)"
+            sh_st, sh_bins = shadow_geom
+            return _rasterize_depth(sh_st, cfg, bins=sh_bins)
         if use_corners:
             sh_setup, _ = triangle_setup_corners(
                 vout.light_clip, scene.tri_valid,
@@ -359,7 +420,8 @@ def render_frame(scene: Scene, state: FrameState,
                  config: RenderConfig,
                  shadow_map: Array | None = None,
                  use_cached_shadow: Array | None = None,
-                 shadow_table: Array | None = None) -> FrameOutputs:
+                 shadow_table: Array | None = None,
+                 shadow_geom=None) -> FrameOutputs:
     """Render one full frame (jitted; one executable per static config).
 
     Shadow-map caching (steady-state interactive behavior; the reference
@@ -372,7 +434,7 @@ def render_frame(scene: Scene, state: FrameState,
     statically external (legacy two-executable path, used by tests).
     """
     return render_band(scene, state, config, shadow_map, use_cached_shadow,
-                       shadow_table=shadow_table)
+                       shadow_table=shadow_table, shadow_geom=shadow_geom)
 
 
 def linearize_depth(depth: Array, znear: float, zfar: float) -> Array:

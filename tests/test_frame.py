@@ -212,3 +212,23 @@ def test_output_u8_hdr_is_float16():
     assert np.asarray(f16.image).dtype == np.float16
     np.testing.assert_allclose(np.asarray(f16.image, np.float32),
                                np.asarray(f32.image), atol=5e-4)
+
+
+def test_fresh_shadow_geom_cache_matches_inframe():
+    """render_shadow_geometry's cached light-space setup/bins must give the
+    SAME frame as the in-frame fresh-shadow path (it is the same geometry,
+    computed once instead of per frame — bench.py --fresh uses it)."""
+    import jax
+    from kanirenderer_tpu.passes.frame import render_shadow_geometry
+    cfg = kani.RenderConfig(width=128, height=96,
+                            mode=kani.RenderMode.LIT_SHADOW,
+                            shadow_dim=256, raster_backend="pallas")
+    state = kani.frame_state(SCENE, OUTSIDE_CAM, LIGHTS)
+    geom = jax.tree.map(lambda a: jax.device_put(np.asarray(a)),
+                        render_shadow_geometry(SCENE, state, cfg))
+    base = render_frame(SCENE, state, cfg)
+    cached = render_frame(SCENE, state, cfg, shadow_geom=geom)
+    np.testing.assert_array_equal(np.asarray(cached.image),
+                                  np.asarray(base.image))
+    np.testing.assert_array_equal(np.asarray(cached.shadow),
+                                  np.asarray(base.shadow))

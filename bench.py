@@ -110,9 +110,16 @@ def main() -> None:
         # itself still re-rasters every frame like src/lib.rs:1721-1751.
         from kanirenderer_tpu.passes.frame import render_shadow_geometry
         state0 = kani.frame_state(scene, cam0, lights)
-        geom = jax.tree.map(
-            lambda a: jax.device_put(np.asarray(a)),
-            render_shadow_geometry(scene, state0, cfg))
+        # Compute the geometry on the host CPU backend: the frame must be
+        # the FIRST device executable in the process (a prior geometry
+        # program on the tunneled runtime demotes it to "second big
+        # program" and it INVALID_ARGUMENTs — docs/PERFORMANCE.md rules).
+        with jax.default_device(jax.devices("cpu")[0]):
+            geom_host = jax.tree.map(
+                np.asarray, render_shadow_geometry(
+                    jax.tree.map(np.asarray, scene),
+                    jax.tree.map(np.asarray, state0), cfg))
+        geom = jax.tree.map(jax.device_put, geom_host)
         flythrough(3, geom=geom)
         passes = [frames / flythrough(frames, geom=geom) for _ in range(5)]
         shadow_mode = ("fresh per frame (reference parity, src/lib.rs:1721; "

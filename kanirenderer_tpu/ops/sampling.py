@@ -42,16 +42,14 @@ Array = jnp.ndarray
 
 # Shadow block-window geometry: 8×8 texel blocks, 11×11 window (one texel
 # apron left/top for the PCF -1 offset, two right/bottom for +2).
+# The 121..127 zero-padding lanes carry a far-outside column coordinate so
+# the trapezoid weight (sample_shadow_pcf) is exactly 0 there — no separate
+# validity mask needed.
 _B = 8
 _WIN = _B + 3
-_LANE_ROW = jnp.asarray(np.minimum(np.arange(128) // _WIN, _WIN - 1),
-                        jnp.float32)
-_LANE_COL = jnp.asarray(np.minimum(np.arange(128), _WIN * _WIN - 1) % _WIN,
-                        jnp.float32)
-# Zero weight on the 121..127 zero-padding lanes (their clamped row/col
-# aliases onto real window coordinates would otherwise pick up nonzero
-# weights and compare depth against the padding zeros).
-_LANE_OK = jnp.asarray(np.arange(128) < _WIN * _WIN, np.float32)
+_LANE_ROW = jnp.asarray(np.arange(128) // _WIN, jnp.float32)
+_LANE_COL = jnp.asarray(np.where(np.arange(128) < _WIN * _WIN,
+                                 np.arange(128) % _WIN, -100.0), jnp.float32)
 
 
 # Material block-window geometry: 6×4-texel blocks, Repeat-wrapped 7×5
@@ -302,7 +300,7 @@ def sample_shadow_pcf(shadow_table: Array, dim: int, u: Array, v: Array,
         dq = depth[..., None] * 65535.0
     else:
         dq = depth[..., None]
-    cmp = (dq <= win.astype(jnp.float32)).astype(jnp.float32)
+    passed = dq <= win.astype(jnp.float32)
 
     # Separable footprint weights over window lanes: a tap at window
     # offset (dy, dx) ∈ [0,4)² from the anchor (ly, lx) carries weight
@@ -318,4 +316,4 @@ def sample_shadow_pcf(shadow_table: Array, dim: int, u: Array, v: Array,
     dxv = _LANE_COL[None, None, :] - ax
     wy = jnp.clip(jnp.minimum(dyv + 1.0, 3.0 - dyv), 0.0, 1.0)
     wx = jnp.clip(jnp.minimum(dxv + 1.0, 3.0 - dxv), 0.0, 1.0)
-    return (cmp * wy * (wx * _LANE_OK)).sum(-1) / 9.0
+    return jnp.where(passed, wy * wx, 0.0).sum(-1) / 9.0

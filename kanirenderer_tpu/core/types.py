@@ -31,8 +31,7 @@ Array = jnp.ndarray
 # perf experiments (scene packing and the raster kernel both honor it).
 # 128 re-swept optimal under stream binning (interleaved A/B: 30.9 vs
 # 35.0 ms at 64, 41.8 at 32 — half the run-loop iterations and a
-# pad-free 128-lane phase-2 LUT).  NOTE: KANI_CLIPFREE=1 needs
-# CHUNK_SIZE ≤ 64 (run mask width; the assert below enforces it).
+# pad-free 128-lane phase-2 LUT).
 CHUNK_SIZE = int(_os.environ.get("KANI_CHUNK_SIZE", "128"))
 
 # Max chunks per DMA run: the binner collapses up to RUN_CHUNKS consecutive
@@ -50,15 +49,18 @@ assert 1 <= RUN_CHUNKS <= 8
 SUBBATCH = int(_os.environ.get("KANI_SUBBATCH", "16"))
 assert CHUNK_SIZE % SUBBATCH == 0, "SUBBATCH must divide CHUNK_SIZE"
 SUBS_PER_CHUNK = CHUNK_SIZE // SUBBATCH
-# Clip-free chunk fast path (KANI_CLIPFREE=1): a triangle is clip-free
-# iff every vertex has z ∈ [0, w] — zw and ww−zw are affine over the
-# triangle so their minima sit at vertices — and coverage only accepts
-# in-triangle pixels, so for chunks of clip-free triangles the kernel's
-# coverage test drops the two depth-clip terms exactly.  The per-run
-# mask fields widen from SUBS_PER_CHUNK to SUBS_PER_CHUNK+1 bits (top
-# bit = chunk is clip-free).
-CLIPFREE = _os.environ.get("KANI_CLIPFREE", "0") == "1"
-MASK_BITS = SUBS_PER_CHUNK + (1 if CLIPFREE else 0)
+# Clip-free RUN fast path (always on; KANI_RUNCF=0 disables for A/B):
+# a triangle is clip-free iff every vertex has z ∈ [0, w] — zw and
+# ww−zw are affine over the triangle so their minima sit at vertices —
+# and coverage only accepts in-triangle pixels, so for runs whose
+# triangles are all clip-free the kernels' coverage test drops the two
+# depth-clip terms exactly (−3 VPU ops of ~14 per triangle·tile).  The
+# certification bit rides the binner's stream sort one bit above the
+# subbatch mask field and lands in the run ENTRY (cid0·32 + cf·16 + ln),
+# so the run loop branches ONCE per run between a fast and a full body —
+# no mask-field widening (at CHUNK_SIZE=128 the per-chunk-bit scheme
+# needs 9·RUN_CHUNKS > 32 mask bits) and no second sweep pass.
+MASK_BITS = SUBS_PER_CHUNK
 assert RUN_CHUNKS * MASK_BITS <= 32, \
     "run mask must fit an int32 (RUN_CHUNKS x MASK_BITS bits)"
 

@@ -30,9 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from kanirenderer_tpu.core.types import (CHUNK_SIZE, CLIPFREE, MASK_BITS,
-                                         RUN_CHUNKS, SUBBATCH,
-                                         SUBS_PER_CHUNK)
+from kanirenderer_tpu.core.types import (CHUNK_SIZE, MASK_BITS, RUN_CHUNKS,
+                                         SUBBATCH, SUBS_PER_CHUNK)
 
 Array = jnp.ndarray
 
@@ -61,8 +60,12 @@ class StreamBins(NamedTuple):
     header: Array      # (3, num_tiles) i32: [stream row, lane offset,
     #                    run count] per tile — scalar-prefetched to SMEM
     stream: Array      # (NR, 2, 128) i32 — [:, 0] run entries
-    #                    ``(tile·cpad + cid0)·8 + len`` with cpad =
-    #                    ``stream_cpad_for(C)``, [:, 1] per-run
+    #                    ``(tile·cpad + cid0)·32 + cf·16 + len`` with cpad
+    #                    = ``stream_cpad_for(C)`` and cf = 1 iff every
+    #                    triangle of the run's chunks is clip-free (the
+    #                    kernels' per-run fast-coverage branch; always 0
+    #                    when the packed sort key cannot spare the bit —
+    #                    see bin_stream), [:, 1] per-run
     #                    MASK_BITS-per-chunk subbatch masks; each tile's
     #                    runs are a contiguous lane range
     overflow: Array    # () i32 — run-capacity + global-cap drops
@@ -147,9 +150,9 @@ class _Expansion(NamedTuple):
     tile_id: Array      # (C, S) i32 tile of each expansion slot
     chunk_id: Array     # (C, 1) i32
     valid_slot: Array   # (C, S) bool
-    mexp: Array         # (C, S) i32 subbatch bits (+ clip-free top bit)
+    mexp: Array         # (C, S) i32 subbatch bits
     glob: Array         # (C,) bool — span > S chunks
-    cf_bit: Array | None
+    cf_chunk: Array | None  # (C,) i32 0/1 — every triangle clip-free
     subbatch_bits: object  # callable for the global-chunk masks
     sx0: Array
     sy0: Array
@@ -217,17 +220,17 @@ def _expand(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     # subbatch masks ride the sort as a payload
     mexp = subbatch_bits(txi, tyi, sx0[:, None], sy0[:, None],
                          sx1[:, None], sy1[:, None])
-    if CLIPFREE and clipfree is not None:
-        # chunk-level AND of the per-triangle flags → mask field top bit
-        cf_bit = (clipfree.reshape(C, CHUNK_SIZE).all(axis=-1)
-                  .astype(jnp.int32) << SUBS_PER_CHUNK)
-        mexp = mexp | cf_bit[:, None]
+    if clipfree is not None:
+        # chunk-level AND of the per-triangle flags (invalid triangles
+        # count as clip-free — ops/vertex.py) → per-run fast-path bit
+        cf_chunk = clipfree.reshape(C, CHUNK_SIZE).all(axis=-1) \
+            .astype(jnp.int32)
     else:
-        cf_bit = None
+        cf_chunk = None
     mexp = jnp.where(valid_slot, mexp, 0)
     return _Expansion(C=C, tile_id=tile_id, chunk_id=chunk_id,
                       valid_slot=valid_slot, mexp=mexp, glob=glob,
-                      cf_bit=cf_bit, subbatch_bits=subbatch_bits,
+                      cf_chunk=cf_chunk, subbatch_bits=subbatch_bits,
                       sx0=sx0, sy0=sy0, sx1=sx1, sy1=sy1)
 
 
@@ -242,18 +245,18 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     """bbox: (T, 4) f32 per-triangle pixel bounds from triangle_setup
     (invalid triangles carry empty boxes).
 
-    ``clipfree``: optional (T,) bool (TriangleSetup.clipfree).  Under
-    KANI_CLIPFREE=1 each packed mask field carries the chunk-level AND as
-    its top bit (bit SUBS_PER_CHUNK), steering the kernels' fast coverage
-    path."""
+    ``clipfree`` is accepted for signature parity with ``bin_stream`` but
+    unused: the packed-block layout (an A/B fallback) has no spare entry
+    bit, so its kernels always run the full coverage test (correct,
+    conservative)."""
     S = max_tiles_per_chunk
     K = max_chunks_per_tile
     G = max_global_chunks
     num_tiles = tiles_x * tiles_y
 
-    ex = _expand(bbox, tiles_x, tiles_y, tile_w, tile_h, S, clipfree)
+    ex = _expand(bbox, tiles_x, tiles_y, tile_w, tile_h, S, None)
     C = ex.C
-    valid_slot, mexp, glob, cf_bit = ex.valid_slot, ex.mexp, ex.glob, ex.cf_bit
+    valid_slot, mexp, glob = ex.valid_slot, ex.mexp, ex.glob
     subbatch_bits = ex.subbatch_bits
     sx0, sy0, sx1, sy1 = ex.sx0, ex.sy0, ex.sx1, ex.sy1
     key = jnp.where(valid_slot, ex.tile_id * C + ex.chunk_id, _SENTINEL)
@@ -317,8 +320,6 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     gmask = subbatch_bits((tids % tiles_x)[:, None], (tids // tiles_x)[:, None],
                           sx0[gc][None], sy0[gc][None],
                           sx1[gc][None], sy1[gc][None])   # (num_tiles, G)
-    if cf_bit is not None:
-        gmask = gmask | cf_bit[gc][None]
     gmask_l = jnp.take_along_axis(gmask, gslot, axis=1)
     masks = jnp.where(in_local, local_msk,
                       jnp.where(in_glob, gmask_l, 0))
@@ -335,8 +336,6 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     # keep the bbox-overlap semantics their consumers/tests expect.
     # KANI_MASK_PRUNE=0 disables for A/B measurement.)
     if _MASK_PRUNE:
-        # Prune on the SUBBATCH bits only — a set clip-free top bit alone
-        # must not keep an entry no subbatch of which overlaps the tile.
         keep = (masks & ((1 << SUBS_PER_CHUNK) - 1)) != 0
         plists = jnp.where(keep, lists, -1)
         pmasks = jnp.where(keep, masks, 0)
@@ -369,6 +368,13 @@ def stream_cpad_for(C: int) -> int:
     return 1 << max(C.bit_length(), 1)
 
 
+def stream_has_cf(num_tiles: int, C: int) -> bool:
+    """True iff the stream packing reserves the clip-free run bit at this
+    (grid, chunk-count) size — must match bin_stream's ``cf_ok`` so the
+    kernels only compile the fast coverage body where it can fire."""
+    return num_tiles * stream_cpad_for(C) < (2**31 - 2) >> (MASK_BITS + 1)
+
+
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
                                    "max_tiles_per_chunk", "max_chunks_per_tile",
                                    "max_global_chunks"))
@@ -395,15 +401,26 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     ex = _expand(bbox, tiles_x, tiles_y, tile_w, tile_h, S, clipfree)
     C = ex.C
     cpad = stream_cpad_for(C)
-    if num_tiles * cpad >= (2**31 - 2) >> max(nsb, 3):
+    if num_tiles * cpad >= (2**31 - 2) >> max(nsb, 5):
         raise ValueError("stream binning key overflow: use bin_chunks")
+
+    # The clip-free chunk bit rides the packed sort key one bit above the
+    # mask field when the key can spare it (1080p main camera: 510 tiles ·
+    # cpad 2048 · 2^9 fits int32).  The 2048-tile shadow grid cannot — and
+    # its slope-biased triangles certify only ~2% anyway — so it packs
+    # without the bit and every run takes the kernels' full coverage path.
+    cf_ok = ex.cf_chunk is not None and stream_has_cf(num_tiles, C)
+    kshift = nsb + 1 if cf_ok else nsb
 
     sub_lo = (1 << SUBS_PER_CHUNK) - 1
     # Local slots, pruned by subbatch mask (exact: no overlapping subbatch
     # bbox ⇒ no covered pixel possible).
     lvalid = ex.valid_slot & ((ex.mexp & sub_lo) != 0)
     lkey = ex.tile_id * cpad + ex.chunk_id
-    lpacked = jnp.where(lvalid, lkey * (1 << nsb) + ex.mexp, _SENTINEL)
+    lpay = ex.mexp
+    if cf_ok:
+        lpay = lpay | (ex.cf_chunk[:, None] << nsb)
+    lpacked = jnp.where(lvalid, lkey * (1 << kshift) + lpay, _SENTINEL)
 
     # Global chunks (span > S tiles): enumerated densely per tile — the
     # (num_tiles, G) mask table is computed here either way, and adding
@@ -419,18 +436,20 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
         (tids % tiles_x)[:, None], (tids // tiles_x)[:, None],
         ex.sx0[gc][None], ex.sy0[gc][None],
         ex.sx1[gc][None], ex.sy1[gc][None])          # (num_tiles, G)
-    if ex.cf_bit is not None:
-        gmask = gmask | ex.cf_bit[gc][None]
     gvalid = (gids >= 0)[None, :] & ((gmask & sub_lo) != 0)
     gkey = tids[:, None] * cpad + gc[None, :]
-    gpacked = jnp.where(gvalid, gkey * (1 << nsb) + gmask, _SENTINEL)
+    gpay = gmask
+    if cf_ok:
+        gpay = gpay | (ex.cf_chunk[gc][None, :] << nsb)
+    gpacked = jnp.where(gvalid, gkey * (1 << kshift) + gpay, _SENTINEL)
 
     packed_all = jnp.concatenate([lpacked.reshape(-1), gpacked.reshape(-1)])
     spk = jnp.sort(packed_all)                       # ONE global sort
     N = packed_all.shape[0]
-    skey = spk >> nsb                                # tile·cpad + cid
+    skey = spk >> kshift                             # tile·cpad + cid
     valid = spk != _SENTINEL
     smsk = spk & ((1 << nsb) - 1)
+    scf = (spk >> nsb) & 1 if cf_ok else jnp.zeros_like(spk)
 
     # Run detection on the sorted stream (the flat analog of _pack_runs):
     # break where the key step ≠ +1 — tile boundaries always break because
@@ -444,6 +463,7 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     stop = newrun | ~valid
     ln = jnp.ones_like(skey)
     rmask = jnp.where(valid, smsk, 0)
+    rcf = jnp.where(valid, scf, 1)     # run cf = AND over member chunks
     alive = jnp.ones_like(valid)
     for k in range(1, R):
         nxt = jnp.concatenate([stop[k:], jnp.ones((k,), bool)])
@@ -451,14 +471,17 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
         ln = ln + alive.astype(jnp.int32)
         mk = jnp.concatenate([smsk[k:], jnp.zeros((k,), smsk.dtype)])
         rmask = rmask | jnp.where(alive, mk << (nsb * k), 0)
+        ck = jnp.concatenate([scf[k:], jnp.ones((k,), scf.dtype)])
+        rcf = rcf & jnp.where(alive, ck, 1)
 
     # Compact run starts with one more sort (entry order == key order, so
-    # each tile's runs stay a contiguous, cid-sorted range).
-    entries = jnp.where(newrun, skey * 8 + ln, _SENTINEL)
+    # each tile's runs stay a contiguous, cid-sorted range).  Entry =
+    # skey·32 + cf·16 + len (len ≤ RUN_CHUNKS ≤ 8 fits 4 bits).
+    entries = jnp.where(newrun, skey * 32 + rcf * 16 + ln, _SENTINEL)
     es, em = jax.lax.sort((entries, rmask), dimension=0, num_keys=1)
 
-    rstarts = jnp.searchsorted(es, tids * (cpad * 8)).astype(jnp.int32)
-    rends = jnp.searchsorted(es, (tids + 1) * (cpad * 8)).astype(jnp.int32)
+    rstarts = jnp.searchsorted(es, tids * (cpad * 32)).astype(jnp.int32)
+    rends = jnp.searchsorted(es, (tids + 1) * (cpad * 32)).astype(jnp.int32)
     raw = rends - rstarts
     cap = K + G
     counts = jnp.minimum(raw, cap)

@@ -29,9 +29,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kanirenderer_tpu.core.types import (CHUNK_SIZE, CLIPFREE, MASK_BITS,
-                                         RUN_CHUNKS, SUBBATCH,
-                                         SUBS_PER_CHUNK, RenderConfig)
+from kanirenderer_tpu.core.types import (CHUNK_SIZE, MASK_BITS, RUN_CHUNKS,
+                                         SUBBATCH, SUBS_PER_CHUNK,
+                                         RenderConfig)
 from kanirenderer_tpu.ops import binning
 from kanirenderer_tpu.ops.interpolate import USED, PixelBuffer
 from kanirenderer_tpu.ops.raster_xla import VisBuffer
@@ -69,24 +69,22 @@ P2LUT = _os.environ.get("KANI_P2LUT", "lut")
 # ~66 per-chunk lane LUTs + per-chunk selects of the default "lut" path.
 # Correct images (same records, same math, summed over disjoint one-hots).
 P2 = _os.environ.get("KANI_P2", "lut")
-# Clip-free chunks (KANI_CLIPFREE=1, core/types.py): the binner's per-run
-# mask fields widen to MASK_BITS with a top bit that certifies every
-# triangle of the chunk passes the depth clip at every covered pixel
-# (ops/vertex.py TriangleSetup.clipfree).  The main run loop then drops
-# the two clip terms from coverage (q over 3 edges instead of 5 planes,
-# −3 VPU ops/triangle·tile) and skips non-certified chunks; a second,
-# unpipelined pass sweeps those rare chunks with the full test.
-assert not (CLIPFREE and not SUBBATCH_SKIP), \
-    "KANI_CLIPFREE=1 requires KANI_SUBBATCH_SKIP=1 (mask bits drive it)"
+# Clip-free RUN fast path (always on with stream binning; KANI_RUNCF=0
+# disables for A/B): the stream binner's run entries carry a bit that
+# certifies every triangle of the run's chunks passes the depth clip at
+# every covered pixel (ops/vertex.py TriangleSetup.clipfree, chunk-ANDed
+# then run-ANDed in ops/binning.bin_stream).  The run loop branches ONCE
+# per run between a fast body — coverage is the three edge terms only,
+# −3 of ~14 VPU ops per triangle·tile — and the full five-plane body.
+# At the bench scene every main-camera run certifies (the projective
+# depth range puts all in-frustum geometry strictly inside z ∈ [0, 1]);
+# only near-plane crossers take the full body.
+RUNCF = _os.environ.get("KANI_RUNCF", "1") != "0"
 
 
 def _mk_bits(mask, k):
-    """(subbatch bits, clip-free bit) of run-chunk ``k`` from the packed
-    per-run mask.  ``k`` may be traced (the slow-pass chunk loop)."""
-    mk = (mask >> (MASK_BITS * k)) % (1 << MASK_BITS)
-    if CLIPFREE:
-        return mk % (1 << SUBS_PER_CHUNK), mk >> SUBS_PER_CHUNK
-    return mk, None
+    """Subbatch bits of run-chunk ``k`` from the packed per-run mask."""
+    return (mask >> (MASK_BITS * k)) % (1 << MASK_BITS)
 # >128-triangle chunks break the phase-2 128-lane LUT.
 assert CHUNK_SIZE <= 128, \
     f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be at most 128"
@@ -128,67 +126,19 @@ def _interpret() -> bool:
         return True
 
 
-def _run_guard(mk, cf, k, ln):
-    """Chunk-level skip condition inside a run (shared by both kernels)."""
-    if not SUBBATCH_SKIP:
-        return k < ln
-    if CLIPFREE:
-        return (cf > 0) & (mk > 0)
-    return mk > 0
-
-
-def _clipfree_slow_pass(count, get_run, get_mask, dma, chunk_buf,
-                        eval_subbatch):
-    """Second pass over chunks the binner could not certify clip-free
-    (rare — near-plane crossers, z>w overshoots, sliver-overflow guards).
-    Unpipelined: one run DMA into slot 0 only when a run actually contains
-    one, then a traced chunk loop (a single eval_subbatch expansion per
-    subbatch position instead of RUN_CHUNKS unrolled copies)."""
-    def slow_body(s, _):
-        cid0, _ln = get_run(s)
-        mask = get_mask(s)
-        need = None
-        for k in range(RUN_CHUNKS):
-            mk, cf = _mk_bits(mask, k)
-            nk = (cf == 0) & (mk > 0)
-            need = nk if need is None else need | nk
-
-        @pl.when(need)
-        def _():
-            d = dma(0, cid0)
-            d.start()
-            d.wait()
-
-            def chunk_body(k, _):
-                mk, cf = _mk_bits(mask, k)
-
-                @pl.when((cf == 0) & (mk > 0))
-                def _():
-                    chunk = chunk_buf[0, k]
-                    cid = cid0 + k
-                    for b in range(SUBS_PER_CHUNK):
-                        rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
-
-                        @pl.when((mk >> b) % 2 > 0)
-                        def _(rows=rows, b=b):
-                            eval_subbatch(rows, cid, b)
-                return 0
-
-            jax.lax.fori_loop(0, RUN_CHUNKS, chunk_body, 0)
-        return 0
-
-    jax.lax.fori_loop(0, count, slow_body, 0)
-
-
 def _list_plumbing(hdr_ref, lists_hbm, list_smem, list_sem, tile_id, *,
                    stream_cpad):
     """Per-tile run-list access for both binning layouts.
 
-    Returns (start_fetch, wait_fetch, get_count, get_run, get_mask):
-    ``stream_cpad`` None = packed-block layout (one (16, 128) block per
-    tile: [count, cid0·16+len entries …, per-run masks …]); an int = the
-    flat stream layout (binning.StreamBins: window rows [row0, row0+W) of
-    the (NR, 2, 128) stream + scalar-prefetched (row0, offset, count))."""
+    Returns (start_fetch, wait_fetch, get_count, get_run, get_mask) with
+    ``get_run(s) -> (cid0, cf, len)`` — cf is the run's clip-free bit
+    (constant 0 on the packed layout, which has no spare entry bit, and
+    under KANI_RUNCF=0).  ``stream_cpad`` None = packed-block layout (one
+    (16, 128) block per tile: [count, cid0·16+len entries …, per-run
+    masks …]); an int = the flat stream layout (binning.StreamBins:
+    window rows [row0, row0+W) of the (NR, 2, 128) stream +
+    scalar-prefetched (row0, offset, count); entry =
+    (tile·cpad+cid0)·32 + cf·16 + len)."""
     if stream_cpad is None:
         dma = pltpu.make_async_copy(lists_hbm.at[tile_id], list_smem,
                                     list_sem)
@@ -199,7 +149,7 @@ def _list_plumbing(hdr_ref, lists_hbm, list_smem, list_sem, tile_id, *,
         def get_run(s):
             t = s + 1
             e = list_smem[t // 128, t % 128]
-            return e // 16, e % 16
+            return e // 16, jnp.int32(0), e % 16
 
         def get_mask(s):
             # Per-run subbatch bits (second half of the packed block).
@@ -217,7 +167,8 @@ def _list_plumbing(hdr_ref, lists_hbm, list_smem, list_sem, tile_id, *,
         def get_run(s):
             t = loff + s
             e = list_smem[t // 128, 0, t % 128]
-            return (e // 8) % stream_cpad, e % 8
+            cf = (e // 16) % 2 if RUNCF else jnp.int32(0)
+            return (e // 32) % stream_cpad, cf, e % 16
 
         def get_mask(s):
             t = loff + s
@@ -229,7 +180,7 @@ def _list_plumbing(hdr_ref, lists_hbm, list_smem, list_sem, tile_id, *,
 def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
                    b1_ref, b2_ref, list_smem, chunk_buf, list_sem, sem, *,
                    tile_h, tile_w, tiles_x, wireframe, wire_thresh,
-                   depth_only, stream_cpad):
+                   depth_only, stream_cpad, dual_cf):
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile_id = i * tiles_x + j
@@ -290,7 +241,8 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
         1.0) automatically.
 
         ``fast``: the chunk is certified clip-free — coverage is the three
-        edge terms only (the z ∈ [0, 1] clip is implied; see _mk_bits).
+        edge terms only (the z ∈ [0, 1] clip is implied by the run's
+        certification bit — see binning.bin_stream).
         """
         if EVAL_NOP:
             z_ref[:] = jnp.minimum(z_ref[:], 1.0 + rows[0, 0] * 1e-30)
@@ -359,22 +311,12 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
         b1_ref[:] = jnp.where(hit, w1, b1_ref[:])
         b2_ref[:] = jnp.where(hit, w2, b2_ref[:])
 
-    def run_body(s, _):
-        slot = s % NBUF
-
-        @pl.when(s + NBUF - 1 < count)
-        def _():
-            dma((s + NBUF - 1) % NBUF, get_run(s + NBUF - 1)[0]).start()
-
-        cid0, ln = get_run(s)
-        mask = get_mask(s)
-        dma(slot, cid0).wait()
-
+    def run_chunks(slot, cid0, ln, mask, fast):
         for k in range(RUN_CHUNKS):
             # Precomputed subbatch overlap bits make the skip a pure
             # scalar branch (no vector reduce + scalar-core sync).
-            mk, cf = _mk_bits(mask, k)
-            guard_k = _run_guard(mk, cf, k, ln)
+            mk = _mk_bits(mask, k)
+            guard_k = (mk > 0) if SUBBATCH_SKIP else (k < ln)
 
             @pl.when(guard_k)
             def _(k=k, mk=mk):
@@ -384,19 +326,39 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
                     rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
 
                     if not SUBBATCH_SKIP:
-                        eval_subbatch(rows, cid, b)
+                        eval_subbatch(rows, cid, b, fast=fast)
                         continue
 
                     @pl.when((mk >> b) % 2 > 0)
                     def _(rows=rows, cid=cid, b=b):
-                        eval_subbatch(rows, cid, b, fast=CLIPFREE)
+                        eval_subbatch(rows, cid, b, fast=fast)
+
+    def run_body(s, _):
+        slot = s % NBUF
+
+        @pl.when(s + NBUF - 1 < count)
+        def _():
+            dma((s + NBUF - 1) % NBUF, get_run(s + NBUF - 1)[0]).start()
+
+        cid0, cf, ln = get_run(s)
+        mask = get_mask(s)
+        dma(slot, cid0).wait()
+
+        if dual_cf:
+            # One scalar branch per run: certified runs drop the two
+            # depth-clip coverage terms (−3 VPU ops/triangle·tile).
+            @pl.when(cf > 0)
+            def _():
+                run_chunks(slot, cid0, ln, mask, True)
+
+            @pl.when(cf == 0)
+            def _():
+                run_chunks(slot, cid0, ln, mask, False)
+        else:
+            run_chunks(slot, cid0, ln, mask, False)
         return 0
 
     jax.lax.fori_loop(0, count, run_body, 0)
-
-    if CLIPFREE:
-        _clipfree_slow_pass(count, get_run, get_mask, dma, chunk_buf,
-                            eval_subbatch)
 
 
 def _list_scratch(num_chunks: int, cfg_k: int, cfg_g: int, bins):
@@ -431,7 +393,9 @@ def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
         wireframe=wireframe, wire_thresh=wire_thresh, depth_only=depth_only,
-        stream_cpad=stream_cpad)
+        stream_cpad=stream_cpad,
+        dual_cf=(stream_cpad is not None and RUNCF
+                 and binning.stream_has_cf(tiles_x * tiles_y, C)))
 
     stream = stream_cpad is not None
     bmap = ((lambda i, j, hdr: (i, j)) if stream else (lambda i, j: (i, j)))
@@ -521,7 +485,8 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                   tw_ref, th_ref, base_ref, bw_ref, tid_ref, list_smem,
                   chunk_buf, fat_buf, cand_ref, win_smem, cnt_smem,
                   list_sem, sem, *, tile_h,
-                  tile_w, tiles_x, wireframe, wire_thresh, stream_cpad):
+                  tile_w, tiles_x, wireframe, wire_thresh, stream_cpad,
+                  dual_cf):
     """Raster + interpolate in one pass over the tile's run list.
 
     Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
@@ -635,22 +600,12 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         local = b * SUBBATCH + win_k.astype(jnp.int32)
         cand_ref[:] = jnp.where(hit, cid * CHUNK_SIZE + local, cand_ref[:])
 
-    def run_body(s, _):
-        slot = s % NBUF
-
-        @pl.when(s + NBUF - 1 < count)
-        def _():
-            dma((s + NBUF - 1) % NBUF, get_run(s + NBUF - 1)[0]).start()
-
-        cid0, ln = get_run(s)
-        mask = get_mask(s)
-        dma(slot, cid0).wait()
-
+    def run_chunks(slot, cid0, ln, mask, fast):
         for k in range(RUN_CHUNKS):
             # Precomputed subbatch overlap bits make the skip a pure
             # scalar branch (no vector reduce + scalar-core sync).
-            mk, cf = _mk_bits(mask, k)
-            guard_k = _run_guard(mk, cf, k, ln)
+            mk = _mk_bits(mask, k)
+            guard_k = (mk > 0) if SUBBATCH_SKIP else (k < ln)
 
             @pl.when(guard_k)
             def _(k=k, mk=mk):
@@ -660,19 +615,39 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                     rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
 
                     if not SUBBATCH_SKIP:
-                        eval_subbatch(rows, cid, b)
+                        eval_subbatch(rows, cid, b, fast=fast)
                         continue
 
                     @pl.when((mk >> b) % 2 > 0)
                     def _(rows=rows, cid=cid, b=b):
-                        eval_subbatch(rows, cid, b, fast=CLIPFREE)
+                        eval_subbatch(rows, cid, b, fast=fast)
+
+    def run_body(s, _):
+        slot = s % NBUF
+
+        @pl.when(s + NBUF - 1 < count)
+        def _():
+            dma((s + NBUF - 1) % NBUF, get_run(s + NBUF - 1)[0]).start()
+
+        cid0, cf, ln = get_run(s)
+        mask = get_mask(s)
+        dma(slot, cid0).wait()
+
+        if dual_cf:
+            # One scalar branch per run: certified runs drop the two
+            # depth-clip coverage terms (−3 VPU ops/triangle·tile).
+            @pl.when(cf > 0)
+            def _():
+                run_chunks(slot, cid0, ln, mask, True)
+
+            @pl.when(cf == 0)
+            def _():
+                run_chunks(slot, cid0, ln, mask, False)
+        else:
+            run_chunks(slot, cid0, ln, mask, False)
         return 0
 
     jax.lax.fori_loop(0, count, run_body, 0)
-
-    if CLIPFREE:
-        _clipfree_slow_pass(count, get_run, get_mask, dma, chunk_buf,
-                            eval_subbatch)
 
     # ---- phase 2: winner-chunk record interpolation ----
     for c in range(USED):
@@ -702,7 +677,7 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     cnt_smem[0, 0] = 0
 
     def compact_body(s, _):
-        cid0, ln = get_run(s)
+        cid0, _cf, ln = get_run(s)
 
         @pl.when(((win_cid >= cid0) & (win_cid < cid0 + ln)).any())
         def _():
@@ -883,7 +858,9 @@ def _run_fused(rec_c: Array, bins,
     kernel = functools.partial(
         _fused_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
         wireframe=wireframe, wire_thresh=wire_thresh,
-        stream_cpad=stream_cpad)
+        stream_cpad=stream_cpad,
+        dual_cf=(stream_cpad is not None and RUNCF
+                 and binning.stream_has_cf(tiles_x * tiles_y, C)))
 
     stream = stream_cpad is not None
     bmap = ((lambda i, j, hdr: (i, j)) if stream else (lambda i, j: (i, j)))

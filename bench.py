@@ -65,8 +65,13 @@ def main() -> None:
         raster_backend="pallas" if on_tpu else "xla",
         tile_h=int(os.environ.get("KANI_TILE_H", 32)),
         shadow_tile_h=int(os.environ.get("KANI_SHADOW_TILE_H", 16)),
-        max_tiles_per_chunk=128, max_chunks_per_tile=512,
-        max_global_chunks=256,
+        # S=32/G=128 re-swept under stream binning: chunk tile-spans are
+        # tiny (p50 3, p90 15), so a small expansion + a global block a
+        # quarter the size cuts the binning sort keys 4x — 25.97 -> 26.64
+        # FPS whole-frame (jobs 006/007, same session); overflow verified
+        # 0 across the bench path and stress poses (docs/PERFORMANCE.md).
+        max_tiles_per_chunk=32, max_chunks_per_tile=512,
+        max_global_chunks=128,
         # The executable the interactive loop ships: LDR surface emitted
         # as uint8 on-device (runtime/loop.py forces the same).
         output_u8=True)

@@ -94,8 +94,8 @@ def run(file_path: str = "", file_type: str = "opengl",
         # stay sized for small CPU-test frames).  KANI_TILE_H overrides.
         cfg = cfg.with_(
             tile_h=int(os.environ.get("KANI_TILE_H", 32)),
-            max_tiles_per_chunk=128, max_chunks_per_tile=512,
-            max_global_chunks=256)
+            max_tiles_per_chunk=32, max_chunks_per_tile=512,
+            max_global_chunks=128)
     # Interactive path: a live window is both sink and event source —
     # flying the camera with WASD/mouse works like the reference's winit
     # loop (src/lib.rs:2091-2140).  Headless hosts fall back to scripted

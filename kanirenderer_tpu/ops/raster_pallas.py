@@ -80,11 +80,77 @@ P2 = _os.environ.get("KANI_P2", "lut")
 # depth range puts all in-frustum geometry strictly inside z ∈ [0, 1]);
 # only near-plane crossers take the full body.
 RUNCF = _os.environ.get("KANI_RUNCF", "1") != "0"
+# Cross-tile double-buffering of the stream-window SMEM fetch (each tile
+# issues the NEXT tile's window DMA; see _list_plumbing).  KANI_WINPF=0
+# reverts to the synchronous per-tile fetch for A/B.
+WINPF = _os.environ.get("KANI_WINPF", "1") != "0"
+# KANI_EVAL_LOOP=1: iterate the per-chunk subbatch sweep with a
+# lax.fori_loop instead of Python unrolling — the unrolled kernel body is
+# RUN_CHUNKS × SUBS_PER_CHUNK × ~45 vector ops (doubled again by the
+# dual clip-free bodies), and if the scalar core is instruction-fetch
+# bound the 8x smaller program wins despite the loop-counter overhead.
+EVAL_LOOP = _os.environ.get("KANI_EVAL_LOOP", "0") == "1"
+# Phase-1 tournament shape.  "tree" materializes all SUBBATCH candidate
+# z planes and merges pairwise (short dependency chain, but up to 16
+# live (tile_h, tile_w) arrays -> heavy vreg pressure / spill); "run"
+# folds each triangle into a running (z, k) accumulator as soon as it is
+# computed (SUBBATCH-long serial chain, ~3 live arrays).  The clip-free
+# A/B (docs/PERFORMANCE.md: removing 3 of ~12 VPU ops per triangle was
+# NEUTRAL) says phase-1 is not op-count bound — this knob tested the
+# spill hypothesis.  On-chip whole-frame A/B (jobs s4/014-017):
+# run 26.72 / 26.71 vs tree 26.61 FPS, proofs bit-identical — "run" is
+# marginally ahead and never worse, so it is the default; the near-
+# neutrality also rules out vreg spill as phase-1's bound.
+TOURN = _os.environ.get("KANI_TOURN", "run")
 
 
 def _mk_bits(mask, k):
     """Subbatch bits of run-chunk ``k`` from the packed per-run mask."""
     return (mask >> (MASK_BITS * k)) % (1 << MASK_BITS)
+
+
+def _run_chunk_sweep(chunk_buf, slot, cid0, ln, mask, fast, eval_subbatch):
+    """Sweep a run's RUN_CHUNKS × SUBS_PER_CHUNK subbatches.
+
+    Precomputed subbatch overlap bits make the skip a pure scalar branch
+    (no vector reduce + scalar-core sync).  KANI_EVAL_LOOP=1 replaces the
+    Python-unrolled subbatch sweep with a lax.fori_loop (dynamic,
+    sublane-aligned row slices) — same semantics, ~8x smaller program.
+    """
+    for k in range(RUN_CHUNKS):
+        mk = _mk_bits(mask, k)
+        guard_k = (mk > 0) if SUBBATCH_SKIP else (k < ln)
+
+        @pl.when(guard_k)
+        def _(k=k, mk=mk):
+            chunk = chunk_buf[slot, k]   # (CHUNK_SIZE, 128)
+            cid = cid0 + k
+
+            if EVAL_LOOP:
+                def b_body(b, _):
+                    rows = chunk_buf[slot, k, pl.ds(b * SUBBATCH, SUBBATCH),
+                                     :]
+                    guard_b = ((mk >> b) % 2 > 0) if SUBBATCH_SKIP \
+                        else (b >= 0)
+
+                    @pl.when(guard_b)
+                    def _():
+                        eval_subbatch(rows, cid, b, fast=fast)
+                    return 0
+
+                jax.lax.fori_loop(0, SUBS_PER_CHUNK, b_body, 0)
+                return
+
+            for b in range(SUBS_PER_CHUNK):
+                rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
+
+                if not SUBBATCH_SKIP:
+                    eval_subbatch(rows, cid, b, fast=fast)
+                    continue
+
+                @pl.when((mk >> b) % 2 > 0)
+                def _(rows=rows, cid=cid, b=b):
+                    eval_subbatch(rows, cid, b, fast=fast)
 # >128-triangle chunks break the phase-2 128-lane LUT.
 assert CHUNK_SIZE <= 128, \
     f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be at most 128"
@@ -127,7 +193,7 @@ def _interpret() -> bool:
 
 
 def _list_plumbing(hdr_ref, lists_hbm, list_smem, list_sem, tile_id, *,
-                   stream_cpad):
+                   stream_cpad, num_tiles):
     """Per-tile run-list access for both binning layouts.
 
     Returns (start_fetch, wait_fetch, get_count, get_run, get_mask) with
@@ -138,7 +204,16 @@ def _list_plumbing(hdr_ref, lists_hbm, list_smem, list_sem, tile_id, *,
     masks …]); an int = the flat stream layout (binning.StreamBins:
     window rows [row0, row0+W) of the (NR, 2, 128) stream +
     scalar-prefetched (row0, offset, count); entry =
-    (tile·cpad+cid0)·32 + cf·16 + len)."""
+    (tile·cpad+cid0)·32 + cf·16 + len).
+
+    Stream-layout window fetches are double-buffered ACROSS grid steps
+    (TPU grid steps run sequentially and scratch persists): each tile
+    issues the NEXT tile's window DMA before doing its own work, so the
+    per-tile SMEM fetch latency — exposed at tile start, where only the
+    output inits can hide it — is paid once instead of num_tiles times.
+    list_smem is (2, W, 2, 128) and list_sem a (2,) DMA semaphore; tile
+    t uses slot t%2 (its window was issued at t−1; slot (t+1)%2 was
+    consumed at t−1 and is free to overwrite)."""
     if stream_cpad is None:
         dma = pltpu.make_async_copy(lists_hbm.at[tile_id], list_smem,
                                     list_sem)
@@ -154,40 +229,61 @@ def _list_plumbing(hdr_ref, lists_hbm, list_smem, list_sem, tile_id, *,
         def get_mask(s):
             # Per-run subbatch bits (second half of the packed block).
             return list_smem[8 + s // 128, s % 128]
+
+        return dma.start, dma.wait, get_count, get_run, get_mask
+
+    loff = hdr_ref[1, tile_id]
+    W = list_smem.shape[1]
+    slot = tile_id % 2
+
+    def window_dma(t, sl):
+        return pltpu.make_async_copy(
+            lists_hbm.at[pl.ds(hdr_ref[0, t], W)], list_smem.at[sl],
+            list_sem.at[sl])
+
+    if WINPF:
+        def start_fetch():
+            @pl.when(tile_id == 0)
+            def _():
+                window_dma(0, 0).start()
+
+            @pl.when(tile_id + 1 < num_tiles)
+            def _():
+                window_dma(tile_id + 1, (tile_id + 1) % 2).start()
     else:
-        row0 = hdr_ref[0, tile_id]
-        loff = hdr_ref[1, tile_id]
-        W = list_smem.shape[0]
-        dma = pltpu.make_async_copy(lists_hbm.at[pl.ds(row0, W)], list_smem,
-                                    list_sem)
+        def start_fetch():
+            window_dma(tile_id, slot).start()
 
-        def get_count():
-            return hdr_ref[2, tile_id]
+    def wait_fetch():
+        window_dma(tile_id, slot).wait()
 
-        def get_run(s):
-            t = loff + s
-            e = list_smem[t // 128, 0, t % 128]
-            cf = (e // 16) % 2 if RUNCF else jnp.int32(0)
-            return (e // 32) % stream_cpad, cf, e % 16
+    def get_count():
+        return hdr_ref[2, tile_id]
 
-        def get_mask(s):
-            t = loff + s
-            return list_smem[t // 128, 1, t % 128]
+    def get_run(s):
+        t = loff + s
+        e = list_smem[slot, t // 128, 0, t % 128]
+        cf = (e // 16) % 2 if RUNCF else jnp.int32(0)
+        return (e // 32) % stream_cpad, cf, e % 16
 
-    return dma.start, dma.wait, get_count, get_run, get_mask
+    def get_mask(s):
+        t = loff + s
+        return list_smem[slot, t // 128, 1, t % 128]
+
+    return start_fetch, wait_fetch, get_count, get_run, get_mask
 
 
 def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
                    b1_ref, b2_ref, list_smem, chunk_buf, list_sem, sem, *,
-                   tile_h, tile_w, tiles_x, wireframe, wire_thresh,
-                   depth_only, stream_cpad, dual_cf):
+                   tile_h, tile_w, tiles_x, num_tiles, wireframe,
+                   wire_thresh, depth_only, stream_cpad, dual_cf):
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile_id = i * tiles_x + j
 
     start_fetch, wait_fetch, get_count, get_run, get_mask = _list_plumbing(
         hdr_ref, lists_hbm, list_smem, list_sem, tile_id,
-        stream_cpad=stream_cpad)
+        stream_cpad=stream_cpad, num_tiles=num_tiles)
     start_fetch()
 
     z_ref[:] = jnp.ones_like(z_ref)
@@ -256,8 +352,7 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
                                 + 1e-30)[:, None]            # (SUB, 1)
                   for (c0, c1, _) in cols[:3]]
 
-        entries = []
-        for k in range(SUBBATCH):
+        def entry_for(k):
             l0, l1, l2, z = [
                 lxs[t][k:k + 1, :] + lys[t][:, k:k + 1] for t in range(4)]
             # Invalid rows carry e0.c ≡ −1 (l0 < 0 everywhere) → never
@@ -274,11 +369,20 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
 
             z_c = jnp.where(covered, z, 2.0)
             if depth_only:
-                entries.append(z_c)
-            else:
-                entries.append((z_c, jnp.full_like(z_c, float(k)),
-                                l1, l2, l0 + l1 + l2))
+                return z_c
+            return (z_c, jnp.full_like(z_c, float(k)),
+                    l1, l2, l0 + l1 + l2)
 
+        if depth_only and TOURN == "run":
+            # Fold each triangle straight into the tile z as computed:
+            # one live accumulator instead of SUBBATCH live planes.
+            acc = z_ref[:]
+            for k in range(SUBBATCH):
+                acc = jnp.minimum(acc, entry_for(k))
+            z_ref[:] = acc
+            return
+
+        entries = [entry_for(k) for k in range(SUBBATCH)]
         if depth_only:
             while len(entries) > 1:
                 entries = [jnp.minimum(entries[k], entries[k + 1])
@@ -311,28 +415,6 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
         b1_ref[:] = jnp.where(hit, w1, b1_ref[:])
         b2_ref[:] = jnp.where(hit, w2, b2_ref[:])
 
-    def run_chunks(slot, cid0, ln, mask, fast):
-        for k in range(RUN_CHUNKS):
-            # Precomputed subbatch overlap bits make the skip a pure
-            # scalar branch (no vector reduce + scalar-core sync).
-            mk = _mk_bits(mask, k)
-            guard_k = (mk > 0) if SUBBATCH_SKIP else (k < ln)
-
-            @pl.when(guard_k)
-            def _(k=k, mk=mk):
-                chunk = chunk_buf[slot, k]   # (CHUNK_SIZE, 128)
-                cid = cid0 + k
-                for b in range(SUBS_PER_CHUNK):
-                    rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
-
-                    if not SUBBATCH_SKIP:
-                        eval_subbatch(rows, cid, b, fast=fast)
-                        continue
-
-                    @pl.when((mk >> b) % 2 > 0)
-                    def _(rows=rows, cid=cid, b=b):
-                        eval_subbatch(rows, cid, b, fast=fast)
-
     def run_body(s, _):
         slot = s % NBUF
 
@@ -349,26 +431,33 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
             # depth-clip coverage terms (−3 VPU ops/triangle·tile).
             @pl.when(cf > 0)
             def _():
-                run_chunks(slot, cid0, ln, mask, True)
+                _run_chunk_sweep(chunk_buf, slot, cid0, ln, mask, True,
+                                 eval_subbatch)
 
             @pl.when(cf == 0)
             def _():
-                run_chunks(slot, cid0, ln, mask, False)
+                _run_chunk_sweep(chunk_buf, slot, cid0, ln, mask, False,
+                                 eval_subbatch)
         else:
-            run_chunks(slot, cid0, ln, mask, False)
+            _run_chunk_sweep(chunk_buf, slot, cid0, ln, mask, False,
+                             eval_subbatch)
         return 0
 
     jax.lax.fori_loop(0, count, run_body, 0)
 
 
 def _list_scratch(num_chunks: int, cfg_k: int, cfg_g: int, bins):
-    """(scratch shape, extra leading operands, stream_cpad) per layout."""
+    """(scratch shape, sem shape, extra leading operands, stream_cpad)
+    per layout.  The stream layout's window buffer and DMA semaphore are
+    doubled for the cross-tile prefetch (see _list_plumbing)."""
     if isinstance(bins, binning.StreamBins):
         W = binning.stream_win_rows(cfg_k, cfg_g)
-        return (pltpu.SMEM((W, 2, 128), jnp.int32),
+        return (pltpu.SMEM((2, W, 2, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
                 [bins.header, bins.stream],
                 binning.stream_cpad_for(num_chunks))
-    return (pltpu.SMEM((16, 128), jnp.int32), [bins.packed], None)
+    return (pltpu.SMEM((16, 128), jnp.int32), pltpu.SemaphoreType.DMA(()),
+            [bins.packed], None)
 
 
 def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
@@ -389,9 +478,11 @@ def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
                       ((0, RUN_CHUNKS - 1), (0, 0), (0, REC_WIDTH - NS)))
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
 
-    list_scratch, list_ops, stream_cpad = _list_scratch(C, cfg_k, cfg_g, bins)
+    list_scratch, list_sem_t, list_ops, stream_cpad = _list_scratch(
+        C, cfg_k, cfg_g, bins)
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
+        num_tiles=tiles_x * tiles_y,
         wireframe=wireframe, wire_thresh=wire_thresh, depth_only=depth_only,
         stream_cpad=stream_cpad,
         dual_cf=(stream_cpad is not None and RUNCF
@@ -414,7 +505,7 @@ def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
     scratch_shapes = [
         list_scratch,
         pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, REC_WIDTH), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
+        list_sem_t,
         pltpu.SemaphoreType.DMA((NBUF,)),
     ]
 
@@ -485,8 +576,8 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                   tw_ref, th_ref, base_ref, bw_ref, tid_ref, list_smem,
                   chunk_buf, fat_buf, cand_ref, win_smem, cnt_smem,
                   list_sem, sem, *, tile_h,
-                  tile_w, tiles_x, wireframe, wire_thresh, stream_cpad,
-                  dual_cf):
+                  tile_w, tiles_x, num_tiles, wireframe, wire_thresh,
+                  stream_cpad, dual_cf):
     """Raster + interpolate in one pass over the tile's run list.
 
     Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
@@ -511,7 +602,7 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
 
     start_fetch, wait_fetch, get_count, get_run, get_mask = _list_plumbing(
         hdr_ref, lists_hbm, list_smem, list_sem, tile_id,
-        stream_cpad=stream_cpad)
+        stream_cpad=stream_cpad, num_tiles=num_tiles)
     start_fetch()
 
     z_ref[:] = jnp.ones_like(z_ref)
@@ -555,8 +646,7 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                                 + 1e-30)[:, None]            # (SUB, 1)
                   for (c0, c1, _) in cols[:3]]
 
-        entries = []
-        for k in range(SUBBATCH):
+        def z_for(k):
             l0, l1, l2, z = [
                 lxs[t][k:k + 1, :] + lys[t][:, k:k + 1] for t in range(4)]
             # Invalid rows carry e0.c ≡ −1 (l0 < 0 everywhere) → never
@@ -570,57 +660,47 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                                             l1 * gs[1][k:k + 1]),
                                 l2 * gs[2][k:k + 1])
                 covered = covered & (d <= wire_thresh)
-            entries.append(jnp.where(covered, z, 2.0))
+            return jnp.where(covered, z, 2.0)
 
-        # Winner-index accumulation from per-level compare bits: the
-        # leaf pair's take_b IS the low index bit (a bool cast, no
-        # materialized k field), and each upper merge adds 2^level when
-        # the right subtree wins.  Ties keep the left/earlier triangle,
-        # exactly like a strict-< select tournament.
-        if SUBBATCH == 1:
-            pairs = [(entries[0], jnp.zeros_like(entries[0]))]
+        if TOURN == "run":
+            # Running (z, k) fold: strict-< keeps the earlier triangle on
+            # ties, identical to the tree below.
+            win_z = z_for(0)
+            win_k = jnp.zeros_like(win_z)
+            for k in range(1, SUBBATCH):
+                z_c = z_for(k)
+                take = z_c < win_z
+                win_z = jnp.minimum(win_z, z_c)
+                win_k = jnp.where(take, float(k), win_k)
         else:
-            pairs = [(jnp.minimum(entries[k], entries[k + 1]),
-                      (entries[k + 1] < entries[k]).astype(jnp.float32))
-                     for k in range(0, SUBBATCH, 2)]
-        lvl = 1
-        while len(pairs) > 1:
-            nxt = []
-            for k in range(0, len(pairs), 2):
-                (za, ka), (zb, kb) = pairs[k], pairs[k + 1]
-                take_b = zb < za
-                nxt.append((jnp.minimum(za, zb),
-                            jnp.where(take_b, kb + float(1 << lvl), ka)))
-            pairs = nxt
-            lvl += 1
-        win_z, win_k = pairs[0]
+            entries = [z_for(k) for k in range(SUBBATCH)]
+            # Winner-index accumulation from per-level compare bits: the
+            # leaf pair's take_b IS the low index bit (a bool cast, no
+            # materialized k field), and each upper merge adds 2^level
+            # when the right subtree wins.  Ties keep the left/earlier
+            # triangle, exactly like a strict-< select tournament.
+            if SUBBATCH == 1:
+                pairs = [(entries[0], jnp.zeros_like(entries[0]))]
+            else:
+                pairs = [(jnp.minimum(entries[k], entries[k + 1]),
+                          (entries[k + 1] < entries[k]).astype(jnp.float32))
+                         for k in range(0, SUBBATCH, 2)]
+            lvl = 1
+            while len(pairs) > 1:
+                nxt = []
+                for k in range(0, len(pairs), 2):
+                    (za, ka), (zb, kb) = pairs[k], pairs[k + 1]
+                    take_b = zb < za
+                    nxt.append((jnp.minimum(za, zb),
+                                jnp.where(take_b, kb + float(1 << lvl), ka)))
+                pairs = nxt
+                lvl += 1
+            win_z, win_k = pairs[0]
 
         hit = win_z < z_ref[:]
         z_ref[:] = jnp.where(hit, win_z, z_ref[:])
         local = b * SUBBATCH + win_k.astype(jnp.int32)
         cand_ref[:] = jnp.where(hit, cid * CHUNK_SIZE + local, cand_ref[:])
-
-    def run_chunks(slot, cid0, ln, mask, fast):
-        for k in range(RUN_CHUNKS):
-            # Precomputed subbatch overlap bits make the skip a pure
-            # scalar branch (no vector reduce + scalar-core sync).
-            mk = _mk_bits(mask, k)
-            guard_k = (mk > 0) if SUBBATCH_SKIP else (k < ln)
-
-            @pl.when(guard_k)
-            def _(k=k, mk=mk):
-                chunk = chunk_buf[slot, k]
-                cid = cid0 + k
-                for b in range(SUBS_PER_CHUNK):
-                    rows = chunk[b * SUBBATCH:(b + 1) * SUBBATCH, :]
-
-                    if not SUBBATCH_SKIP:
-                        eval_subbatch(rows, cid, b, fast=fast)
-                        continue
-
-                    @pl.when((mk >> b) % 2 > 0)
-                    def _(rows=rows, cid=cid, b=b):
-                        eval_subbatch(rows, cid, b, fast=fast)
 
     def run_body(s, _):
         slot = s % NBUF
@@ -638,13 +718,16 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
             # depth-clip coverage terms (−3 VPU ops/triangle·tile).
             @pl.when(cf > 0)
             def _():
-                run_chunks(slot, cid0, ln, mask, True)
+                _run_chunk_sweep(chunk_buf, slot, cid0, ln, mask, True,
+                                 eval_subbatch)
 
             @pl.when(cf == 0)
             def _():
-                run_chunks(slot, cid0, ln, mask, False)
+                _run_chunk_sweep(chunk_buf, slot, cid0, ln, mask, False,
+                                 eval_subbatch)
         else:
-            run_chunks(slot, cid0, ln, mask, False)
+            _run_chunk_sweep(chunk_buf, slot, cid0, ln, mask, False,
+                             eval_subbatch)
         return 0
 
     jax.lax.fori_loop(0, count, run_body, 0)
@@ -854,9 +937,11 @@ def _run_fused(rec_c: Array, bins,
                cfg_k: int, cfg_g: int):
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
     C = rec_c.shape[0] - (RUN_CHUNKS - 1)   # rec_c carries the DMA tail pad
-    list_scratch, list_ops, stream_cpad = _list_scratch(C, cfg_k, cfg_g, bins)
+    list_scratch, list_sem_t, list_ops, stream_cpad = _list_scratch(
+        C, cfg_k, cfg_g, bins)
     kernel = functools.partial(
         _fused_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
+        num_tiles=tiles_x * tiles_y,
         wireframe=wireframe, wire_thresh=wire_thresh,
         stream_cpad=stream_cpad,
         dual_cf=(stream_cpad is not None and RUNCF
@@ -884,7 +969,7 @@ def _run_fused(rec_c: Array, bins,
         pltpu.VMEM((tile_h, tile_w), jnp.int32),
         pltpu.SMEM((8, 128), jnp.int32),
         pltpu.SMEM((1, 1), jnp.int32),
-        pltpu.SemaphoreType.DMA(()),
+        list_sem_t,
         pltpu.SemaphoreType.DMA((NBUF,)),
     ]
 

@@ -879,7 +879,11 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         ct = padded.T                  # (128 lanes->tri slots) per row
 
         def g(c):
-            lut = jnp.broadcast_to(ct[c][None, :], (tile_h, tile_w))
+            # tile_w > 128: repeat the 128-triangle record row per lane
+            # group (winner indices stay < 128, so any copy serves).
+            row = ct[c] if tile_w == 128 else jnp.concatenate(
+                [ct[c]] * (tile_w // 128))
+            lut = jnp.broadcast_to(row[None, :], (tile_h, tile_w))
             if P2LUT == "broadcast":
                 return lut
             return jnp.take_along_axis(lut, local, axis=1)

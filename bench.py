@@ -64,6 +64,7 @@ def main() -> None:
         width=1920, height=1080, mode=kani.RenderMode.LIT_SHADOW,
         raster_backend="pallas" if on_tpu else "xla",
         tile_h=int(os.environ.get("KANI_TILE_H", 32)),
+        tile_w=int(os.environ.get("KANI_TILE_W", 128)),
         shadow_tile_h=int(os.environ.get("KANI_SHADOW_TILE_H", 16)),
         # S=32/G=128 re-swept under stream binning: chunk tile-spans are
         # tiny (p50 3, p90 15), so a small expansion + a global block a
@@ -109,26 +110,19 @@ def main() -> None:
     # variance sources"), so absolute numbers depend on regime luck;
     # the median of five guards against intra-run transitions.
     if fresh:
-        # Reference parity: shadow re-rendered inside every frame.  The
-        # light-space setup + bins are CAMERA-independent, so they are
-        # computed once and passed in (render_shadow_geometry) — the map
-        # itself still re-rasters every frame like src/lib.rs:1721-1751.
-        from kanirenderer_tpu.passes.frame import render_shadow_geometry
-        state0 = kani.frame_state(scene, cam0, lights)
-        # Compute the geometry on the host CPU backend: the frame must be
-        # the FIRST device executable in the process (a prior geometry
-        # program on the tunneled runtime demotes it to "second big
-        # program" and it INVALID_ARGUMENTs — docs/PERFORMANCE.md rules).
-        with jax.default_device(jax.devices("cpu")[0]):
-            geom_host = jax.tree.map(
-                np.asarray, render_shadow_geometry(
-                    jax.tree.map(np.asarray, scene),
-                    jax.tree.map(np.asarray, state0), cfg))
-        geom = jax.tree.map(jax.device_put, geom_host)
-        flythrough(3, geom=geom)
-        passes = [frames / flythrough(frames, geom=geom) for _ in range(5)]
+        # Reference parity: shadow re-rendered inside every frame, with the
+        # light-space geometry recomputed in-frame like src/lib.rs:1721-1751.
+        # A precomputed camera-independent geometry operand (the r3
+        # "cached light-space setup" variant) now INVALID_ARGUMENTs on the
+        # tunneled runtime at the S=32/G=128 binning caps (jobs s4/034-035;
+        # host-CPU precompute made no difference) — and the in-frame path
+        # measures FASTER anyway under stream binning (17.74 FPS, job
+        # s4/038, vs 13.86 recorded for the geom-operand build), so the
+        # operand path is retired from the bench.
+        flythrough(3)
+        passes = [frames / flythrough(frames) for _ in range(5)]
         shadow_mode = ("fresh per frame (reference parity, src/lib.rs:1721; "
-                       "camera-independent light-space setup cached)")
+                       "light-space setup recomputed in-frame)")
     else:
         # Steady state: frame executable first (ones map), the shadow pass
         # exactly once, then the frames reuse the host-round-tripped map.

@@ -154,6 +154,54 @@ def test_pallas_mixed_clipfree_and_crossing_chunks():
     assert np.isfinite(np.asarray(pix.z)).all()
 
 
+def test_pallas_tile_w_256_matches_xla():
+    """tile_w > 128 (two VPU lane groups per tile): phase-2's record LUT
+    repeats the 128-triangle row per lane group — parity vs the oracle on
+    a 384-wide frame (1.5 tiles, exercising the right-edge crop too)."""
+    scene = sponza_standin_scene(target_tris=6000, num_materials=4,
+                                 tex_size=32)
+    cfg = kani.RenderConfig(width=384, height=192, tile_w=256)
+    st = _setup_for(scene, COURTYARD_CAM, cfg)
+    vx = raster_xla.rasterize_xla(st.setup, cfg.width, cfg.height)
+    vp = raster_pallas.rasterize(st, cfg)
+    same = np.asarray(vx.tri) == np.asarray(vp.tri)
+    assert (~same).mean() < 0.002, (~same).mean()
+    np.testing.assert_allclose(np.asarray(vx.z)[same], np.asarray(vp.z)[same],
+                               atol=1e-6)
+    # Fused kernel (production path): the phase-2 LUT resolve must place
+    # each winner's record in BOTH lane groups correctly.
+    from kanirenderer_tpu.ops.interpolate import build_tri_records
+    T = scene.tri_idx.shape[0]
+    V = int(np.asarray(scene.tri_idx).max()) + 1
+    vary = jnp.zeros((V, 24), jnp.float32)
+    rec = build_tri_records(scene.tri_idx, jnp.zeros(T, jnp.int32), vary,
+                            jnp.zeros(1, jnp.int32), jnp.ones(1, jnp.int32),
+                            jnp.ones((1, 2), jnp.int32), setup=st.setup)
+    pix = raster_pallas.rasterize_pixels(st, rec, cfg)
+    same_f = np.asarray(pix.mask) == (np.asarray(vx.tri) >= 0)
+    assert (~same_f).mean() < 0.002, (~same_f).mean()
+    # The fused kernel must equal the non-fused Pallas raster EXACTLY
+    # (same tournament; only phase-2's LUT resolve differs) — this pins
+    # the tile_w>128 lane-group repeat.  vs the oracle, exclude the
+    # handful of tie-break pixels where the two backends pick different
+    # but equal-depth winners.
+    both = np.asarray(pix.mask) & (np.asarray(vx.tri) >= 0)
+    np.testing.assert_array_equal(np.asarray(pix.z)[both],
+                                  np.asarray(vp.z)[both])
+    tie_ok = both & (np.asarray(vx.tri) == np.asarray(vp.tri))
+    np.testing.assert_allclose(np.asarray(pix.z)[tie_ok],
+                               np.asarray(vx.z)[tie_ok], atol=1e-5)
+    # Control at tile_w=128 on the same scene/frame: identical winners ->
+    # identical z (the tile width must not change the image).
+    cfg128 = kani.RenderConfig(width=384, height=192, tile_w=128)
+    pix128 = raster_pallas.rasterize_pixels(st, rec, cfg128)
+    same_w = np.asarray(pix.mask) == np.asarray(pix128.mask)
+    assert (~same_w).mean() < 0.002, (~same_w).mean()
+    b = np.asarray(pix.mask) & np.asarray(pix128.mask)
+    np.testing.assert_allclose(np.asarray(pix.z)[b],
+                               np.asarray(pix128.z)[b], atol=1e-6)
+
+
 def test_pallas_wireframe_matches_xla():
     scene = cube_scene()
     cfg = kani.RenderConfig(width=256, height=192)

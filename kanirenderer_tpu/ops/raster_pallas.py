@@ -499,8 +499,8 @@ def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
         out_specs += [pl.BlockSpec((tile_h, tile_w), bmap)] * 3
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),  # run lists (packed / stream)
-        pl.BlockSpec(memory_space=pltpu.ANY),  # chunk setup rows
+        pl.BlockSpec(memory_space=pl.ANY),  # run lists (packed / stream)
+        pl.BlockSpec(memory_space=pl.ANY),  # chunk setup rows
     ]
     scratch_shapes = [
         list_scratch,
@@ -960,8 +960,8 @@ def _run_fused(rec_c: Array, bins,
     bspec = pl.BlockSpec((tile_h, tile_w), bmap)
     vspec = pl.BlockSpec((USED, tile_h, tile_w), vmap_)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY)]
     out_specs = [bspec, vspec] + [bspec] * 6
     out_shape = [plane_f,
                  jax.ShapeDtypeStruct((USED, ph, pw), jnp.float32),

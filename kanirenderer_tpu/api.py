@@ -96,6 +96,16 @@ def run(file_path: str = "", file_type: str = "opengl",
             tile_h=int(os.environ.get("KANI_TILE_H", 32)),
             max_tiles_per_chunk=32, max_chunks_per_tile=512,
             max_global_chunks=128)
+    # Remote-attached hosts (the axon tunnel): the device→host present
+    # transfer dominates the interactive loop (~40 ms fixed + ~30 ms/MB),
+    # so window presents default to a half-res on-device preview (4x less
+    # data; render/picking stay full res).  KANI_PRESENT_SCALE=1 restores
+    # full-res presents (PCIe-local hosts want that).
+    pscale = int(os.environ.get("KANI_PRESENT_SCALE", "0"))
+    if pscale <= 0:
+        pscale = 2 if (raster_backend == "pallas" and sink == "window") \
+            else 1
+    cfg = cfg.with_(present_scale=pscale)
     # Interactive path: a live window is both sink and event source —
     # flying the camera with WASD/mouse works like the reference's winit
     # loop (src/lib.rs:2091-2140).  Headless hosts fall back to scripted

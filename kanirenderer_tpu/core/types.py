@@ -281,6 +281,15 @@ class RenderConfig:
     # host-side convert; the interactive loop enables this.  f32 default
     # keeps analysis/tests on the full-precision encoded image.
     output_u8: bool = False
+    # Present-path preview scale: emit the frame box-downsampled by this
+    # factor (1 = off).  The RENDER stays full-resolution (depth picking,
+    # goldens, bench all see full res); only the emitted surface shrinks —
+    # a 2x scale cuts the device→host present transfer 4x, which on
+    # remote-attached hosts is the whole interactive-loop cost
+    # (docs/PERFORMANCE.md: ~40 ms fixed + ~30 ms/MB through the tunnel).
+    # The host sink upscales (runtime/loop.py).  No reference analog; a
+    # PCIe-local host leaves this at 1.
+    present_scale: int = 1
     wire_thresh_px: float = 0.7     # wireframe edge half-width in pixels
     # Pallas raster kernel: triangles evaluated per inner step
     raster_tri_batch: int = 8

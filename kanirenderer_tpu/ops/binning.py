@@ -59,15 +59,20 @@ class StreamBins(NamedTuple):
 
     header: Array      # (3, num_tiles) i32: [stream row, lane offset,
     #                    run count] per tile — scalar-prefetched to SMEM
-    stream: Array      # (NR, 2, 128) i32 — [:, 0] run entries
+    stream: Array      # (NR, 3, 128) i32 — [:, 0] run entries
     #                    ``(tile·cpad + cid0)·32 + cf·16 + len`` with cpad
     #                    = ``stream_cpad_for(C)`` and cf = 1 iff every
     #                    triangle of the run's chunks is clip-free (the
     #                    kernels' per-run fast-coverage branch; always 0
     #                    when the packed sort key cannot spare the bit —
     #                    see bin_stream), [:, 1] per-run
-    #                    MASK_BITS-per-chunk subbatch masks; each tile's
-    #                    runs are a contiguous lane range
+    #                    MASK_BITS-per-chunk subbatch masks; [:, 2] the
+    #                    occlusion payload ``qz·256 + strip_y0·16 +
+    #                    strip_y1`` (see bin_stream; zeros when occlusion
+    #                    inputs are absent); each tile's runs are a
+    #                    contiguous lane range — sorted FRONT-TO-BACK by
+    #                    the runs' conservative depth bound when occlusion
+    #                    is on, by chunk id otherwise
     overflow: Array    # () i32 — run-capacity + global-cap drops
 
 
@@ -158,10 +163,15 @@ class _Expansion(NamedTuple):
     sy0: Array
     sx1: Array
     sy1: Array
+    cy0: Array = None   # (C,) chunk y bbox (occlusion strip ranges)
+    cy1: Array = None
+    qz: Array = None    # (C,) i32 — 22-bit conservative depth bound
+    #                     (None when no zmin input / occlusion off)
 
 
 def _expand(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
-            tile_h: int, S: int, clipfree: Array | None) -> _Expansion:
+            tile_h: int, S: int, clipfree: Array | None,
+            zmin: Array | None = None) -> _Expansion:
     T = bbox.shape[0]
     C = T // CHUNK_SIZE
 
@@ -228,10 +238,22 @@ def _expand(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     else:
         cf_chunk = None
     mexp = jnp.where(valid_slot, mexp, 0)
+    if zmin is not None:
+        # Per-chunk conservative depth bound, quantized so smaller values
+        # mean farther (qz = 0 ⇒ zbound = 1).  Invalid triangles carry
+        # zmin = +inf (ops/vertex.py) and drop out of the min; an
+        # all-invalid chunk maps to qz = 0 (zbound 1.0, effectively
+        # skippable — such chunks are mask-pruned anyway).
+        zc = zmin.reshape(C, CHUNK_SIZE).min(axis=-1)
+        qz = jnp.clip(jnp.ceil((1.0 - zc) * float(2 ** OCC_QBITS)),
+                      0, 2 ** OCC_QBITS).astype(jnp.int32)
+    else:
+        qz = None
     return _Expansion(C=C, tile_id=tile_id, chunk_id=chunk_id,
                       valid_slot=valid_slot, mexp=mexp, glob=glob,
                       cf_chunk=cf_chunk, subbatch_bits=subbatch_bits,
-                      sx0=sx0, sy0=sy0, sx1=sx1, sy1=sy1)
+                      sx0=sx0, sy0=sy0, sx1=sx1, sy1=sy1,
+                      cy0=cy0, cy1=cy1, qz=qz)
 
 
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
@@ -241,14 +263,15 @@ def bin_chunks(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
                tile_h: int, max_tiles_per_chunk: int = 16,
                max_chunks_per_tile: int = 256,
                max_global_chunks: int = 256,
-               clipfree: Array | None = None) -> TileBins:
+               clipfree: Array | None = None,
+               zmin: Array | None = None) -> TileBins:
     """bbox: (T, 4) f32 per-triangle pixel bounds from triangle_setup
     (invalid triangles carry empty boxes).
 
-    ``clipfree`` is accepted for signature parity with ``bin_stream`` but
-    unused: the packed-block layout (an A/B fallback) has no spare entry
-    bit, so its kernels always run the full coverage test (correct,
-    conservative)."""
+    ``clipfree``/``zmin`` are accepted for signature parity with
+    ``bin_stream`` but unused: the packed-block layout (an A/B fallback)
+    has no spare entry bits, so its kernels always run the full coverage
+    test and never occlusion-skip (correct, conservative)."""
     S = max_tiles_per_chunk
     K = max_chunks_per_tile
     G = max_global_chunks
@@ -361,6 +384,45 @@ def stream_win_rows(K: int, G: int) -> int:
     return (K + G + 127 + 127) // 128
 
 
+# ---- sub-tile occlusion culling (the round-4 semantic change) ----
+#
+# Tile-granular early-z failed on this scene (docs/PERFORMANCE.md "early-z
+# RETRY"): one sky pixel per 32×128 tile pins the tile z-max at the far
+# plane and only 1.4-2.8% of runs skipped.  The sub-tile scheme tracks
+# z-max per 4-row STRIP instead (8 scalars per 32-row tile, refreshed by
+# an in-kernel reduce every few runs), orders each tile's runs
+# front-to-back by a conservative per-run depth bound, and skips a run
+# when its bound exceeds the max strip z over the rows its bbox overlaps
+# — exactly output-preserving: a skipped run cannot win any pixel.
+#
+# The per-run payload packs into stream lane 2 as ``qz·256 + y0·16 + y1``:
+# qz = clamp(ceil((1 − zmin)·2²²), 0, 2²²) so zbound = 1 − qz·2⁻²² ≤ zmin
+# (qz = 2²² ⇒ zbound = 0, the never-skip value externals use), and y0/y1
+# are the strip indices (4 bits each) of the run's y extent in the tile.
+
+OCC_QBITS = 22
+OCC_SORT_SHIFT = 9   # front-to-back sort uses qz >> 9 (13-bit rank)
+
+
+def occ_strip_rows(tile_h: int) -> int:
+    """Rows per occlusion strip: 4 for tile_h ≤ 64, scaled so the strip
+    count fits the 4-bit payload field beyond that."""
+    return 4 * (-(-tile_h // 64))
+
+
+def occ_nstrips(tile_h: int) -> int:
+    return -(-tile_h // occ_strip_rows(tile_h))
+
+
+def stream_has_occ(num_tiles: int, tile_h: int) -> bool:
+    """True iff the stream packing supports occlusion ordering at this
+    (grid, tile_h) — must match bin_stream so the kernels only compile
+    the skip branch where the binner z-orders."""
+    return (tile_h % occ_strip_rows(tile_h) == 0
+            and occ_nstrips(tile_h) <= 16
+            and num_tiles * 8192 < 2**31 - 2)
+
+
 def stream_cpad_for(C: int) -> int:
     """Static pow2 > C for the stream entry encoding: runs can never
     bridge a tile boundary (the key step across tiles is ≥ 2) and the
@@ -382,7 +444,8 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
                tile_h: int, max_tiles_per_chunk: int = 16,
                max_chunks_per_tile: int = 256,
                max_global_chunks: int = 256,
-               clipfree: Array | None = None) -> StreamBins:
+               clipfree: Array | None = None,
+               zmin: Array | None = None) -> StreamBins:
     """Flat run-stream binning (see StreamBins).
 
     Same inputs/semantics as ``bin_chunks`` but the output stays in the
@@ -390,7 +453,14 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     mask pruning is always on (entries no subbatch of which overlaps the
     tile are exactly removable), and the per-tile capacity cap counts RUN
     entries against ``max_chunks_per_tile + max_global_chunks`` rather
-    than chunk entries against each cap separately."""
+    than chunk entries against each cap separately.
+
+    ``zmin``: optional (T,) per-triangle conservative depth lower bound
+    (ops/vertex.TriangleSetup.zmin).  When given (and the grid supports
+    it — ``stream_has_occ``), each tile's runs are ordered FRONT-TO-BACK
+    by the run bound and stream lane 2 carries the occlusion payload the
+    kernels' sub-tile skip consumes; the per-tile capacity cap then drops
+    the FARTHEST runs first."""
     S = max_tiles_per_chunk
     K = max_chunks_per_tile
     G = max_global_chunks
@@ -398,7 +468,9 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     nsb = MASK_BITS
     num_tiles = tiles_x * tiles_y
 
-    ex = _expand(bbox, tiles_x, tiles_y, tile_w, tile_h, S, clipfree)
+    occ = zmin is not None and stream_has_occ(num_tiles, tile_h)
+    ex = _expand(bbox, tiles_x, tiles_y, tile_w, tile_h, S, clipfree,
+                 zmin if occ else None)
     C = ex.C
     cpad = stream_cpad_for(C)
     if num_tiles * cpad >= (2**31 - 2) >> max(nsb, 5):
@@ -413,6 +485,20 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     kshift = nsb + 1 if cf_ok else nsb
 
     sub_lo = (1 << SUBS_PER_CHUNK) - 1
+
+    srows = float(occ_strip_rows(tile_h))
+    nstrips = occ_nstrips(tile_h)
+
+    def occ_pay(tyi, y0b, y1b, qzb):
+        """Occlusion payload qz·256 + strip_y0·16 + strip_y1 of chunk
+        y-bounds (y1b exclusive) vs tile rows [tyi·tile_h, +tile_h)."""
+        ty0p = (tyi * tile_h).astype(jnp.float32)
+        s0 = jnp.clip(((y0b - ty0p) // srows).astype(jnp.int32),
+                      0, nstrips - 1)
+        s1 = jnp.clip(((y1b - 1.0 - ty0p) // srows).astype(jnp.int32),
+                      0, nstrips - 1)
+        return qzb * 256 + s0 * 16 + s1
+
     # Local slots, pruned by subbatch mask (exact: no overlapping subbatch
     # bbox ⇒ no covered pixel possible).
     lvalid = ex.valid_slot & ((ex.mexp & sub_lo) != 0)
@@ -421,6 +507,9 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     if cf_ok:
         lpay = lpay | (ex.cf_chunk[:, None] << nsb)
     lpacked = jnp.where(lvalid, lkey * (1 << kshift) + lpay, _SENTINEL)
+    if occ:
+        le3 = occ_pay(ex.tile_id // tiles_x, ex.cy0[:, None],
+                      ex.cy1[:, None], ex.qz[:, None])
 
     # Global chunks (span > S tiles): enumerated densely per tile — the
     # (num_tiles, G) mask table is computed here either way, and adding
@@ -444,7 +533,17 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     gpacked = jnp.where(gvalid, gkey * (1 << kshift) + gpay, _SENTINEL)
 
     packed_all = jnp.concatenate([lpacked.reshape(-1), gpacked.reshape(-1)])
-    spk = jnp.sort(packed_all)                       # ONE global sort
+    if occ:
+        ge3 = occ_pay((tids // tiles_x)[:, None], ex.cy0[gc][None, :],
+                      ex.cy1[gc][None, :], ex.qz[gc][None, :])
+        e3_all = jnp.concatenate([le3.reshape(-1), ge3.reshape(-1)])
+        # Key+payload co-sort (measured free vs single-array — the
+        # PACK_SORT note): the occlusion payload rides the first sort.
+        spk, se3 = jax.lax.sort((packed_all, e3_all), dimension=0,
+                                num_keys=1)
+    else:
+        spk = jnp.sort(packed_all)                   # ONE global sort
+        se3 = jnp.zeros_like(spk)
     N = packed_all.shape[0]
     skey = spk >> kshift                             # tile·cpad + cid
     valid = spk != _SENTINEL
@@ -464,6 +563,13 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     ln = jnp.ones_like(skey)
     rmask = jnp.where(valid, smsk, 0)
     rcf = jnp.where(valid, scf, 1)     # run cf = AND over member chunks
+    if occ:
+        sq = se3 // 256
+        ss0 = (se3 // 16) % 16
+        ss1 = se3 % 16
+        rq = jnp.where(valid, sq, 0)       # run bound = min z = MAX q
+        rs0 = jnp.where(valid, ss0, 15)    # strip range = union
+        rs1 = jnp.where(valid, ss1, 0)
     alive = jnp.ones_like(valid)
     for k in range(1, R):
         nxt = jnp.concatenate([stop[k:], jnp.ones((k,), bool)])
@@ -473,15 +579,37 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
         rmask = rmask | jnp.where(alive, mk << (nsb * k), 0)
         ck = jnp.concatenate([scf[k:], jnp.ones((k,), scf.dtype)])
         rcf = rcf & jnp.where(alive, ck, 1)
+        if occ:
+            qk = jnp.concatenate([sq[k:], jnp.zeros((k,), sq.dtype)])
+            rq = jnp.maximum(rq, jnp.where(alive, qk, 0))
+            s0k = jnp.concatenate([ss0[k:], jnp.zeros((k,), ss0.dtype)])
+            rs0 = jnp.minimum(rs0, jnp.where(alive, s0k, 15))
+            s1k = jnp.concatenate([ss1[k:], jnp.zeros((k,), ss1.dtype)])
+            rs1 = jnp.maximum(rs1, jnp.where(alive, s1k, 0))
 
-    # Compact run starts with one more sort (entry order == key order, so
-    # each tile's runs stay a contiguous, cid-sorted range).  Entry =
-    # skey·32 + cf·16 + len (len ≤ RUN_CHUNKS ≤ 8 fits 4 bits).
+    # Compact run starts with one more sort.  Entry = skey·32 + cf·16 +
+    # len (len ≤ RUN_CHUNKS ≤ 8 fits 4 bits).  Without occlusion the
+    # entry IS the sort key (entry order == key order: each tile's runs
+    # stay a contiguous, cid-sorted range).  With occlusion the key is
+    # ``tile·8192 + (2²² − run q) >> 9`` — tile-major still (contiguous
+    # ranges preserved) but intra-tile FRONT-TO-BACK, so the kernels'
+    # strip z converges on the near occluders before the far runs test
+    # against it, and the capacity cap drops the farthest runs first.
     entries = jnp.where(newrun, skey * 32 + rcf * 16 + ln, _SENTINEL)
-    es, em = jax.lax.sort((entries, rmask), dimension=0, num_keys=1)
-
-    rstarts = jnp.searchsorted(es, tids * (cpad * 32)).astype(jnp.int32)
-    rends = jnp.searchsorted(es, (tids + 1) * (cpad * 32)).astype(jnp.int32)
+    if occ:
+        e3run = rq * 256 + rs0 * 16 + rs1
+        zrank = jnp.minimum((2 ** OCC_QBITS - rq) >> OCC_SORT_SHIFT, 8191)
+        key2 = jnp.where(newrun, (skey // cpad) * 8192 + zrank, _SENTINEL)
+        k2s, es, em, e3s = jax.lax.sort((key2, entries, rmask, e3run),
+                                        dimension=0, num_keys=1)
+        rstarts = jnp.searchsorted(k2s, tids * 8192).astype(jnp.int32)
+        rends = jnp.searchsorted(k2s, (tids + 1) * 8192).astype(jnp.int32)
+    else:
+        es, em = jax.lax.sort((entries, rmask), dimension=0, num_keys=1)
+        e3s = jnp.zeros_like(es)
+        rstarts = jnp.searchsorted(es, tids * (cpad * 32)).astype(jnp.int32)
+        rends = jnp.searchsorted(
+            es, (tids + 1) * (cpad * 32)).astype(jnp.int32)
     raw = rends - rstarts
     cap = K + G
     counts = jnp.minimum(raw, cap)
@@ -494,8 +622,9 @@ def bin_stream(bbox: Array, tiles_x: int, tiles_y: int, tile_w: int,
     pad = NR * 128 - N                               # fixed-size window DMA
     es = jnp.pad(es, (0, pad), constant_values=-1).reshape(NR, 128)
     em = jnp.pad(em, (0, pad)).reshape(NR, 128)
+    e3s = jnp.pad(e3s, (0, pad)).reshape(NR, 128)
     return StreamBins(
         header=header,
-        stream=jnp.stack([es, em], axis=1),
+        stream=jnp.stack([es, em, e3s], axis=1),
         overflow=(run_dropped + glob_dropped).astype(jnp.int32),
     )

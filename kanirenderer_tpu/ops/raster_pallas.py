@@ -90,6 +90,30 @@ WINPF = _os.environ.get("KANI_WINPF", "1") != "0"
 # dual clip-free bodies), and if the scalar core is instruction-fetch
 # bound the 8x smaller program wins despite the loop-counter overhead.
 EVAL_LOOP = _os.environ.get("KANI_EVAL_LOOP", "0") == "1"
+# Sub-tile occlusion culling (round 4, the semantic change VERDICT r3
+# demanded): the stream binner orders each tile's runs FRONT-TO-BACK by a
+# conservative per-run depth bound and packs (bound, strip y-range) into
+# stream lane 2 (ops/binning.bin_stream); the kernels keep a per-4-row
+# STRIP z-max table in SMEM, refreshed by an in-kernel reduce every
+# OCC_PERIOD runs, and skip a run's whole evaluation when its bound
+# exceeds the max strip z over the rows it can touch — exactly
+# output-preserving (a skipped run cannot win any pixel; only z-TIE
+# resolution order changes, see the tie note in bin_stream).  KANI_OCC:
+# "shadow" (default) = depth-only rasters (the ortho shadow grid skips
+# 65-80% of runs — scripts/occ_stats.py — and the fresh-shadow bench
+# measured 15.59 → 18.95 FPS on-chip, jobs r4/002-005); "1" = everywhere
+# (for occlusion-heavy content; the headline scene's perspective grid
+# has a measured skip CEILING of ~2%, so there the machinery costs more
+# than it saves: 18.38 vs 18.95); "0" = off for A/B.
+OCC_MODE = _os.environ.get("KANI_OCC", "shadow")
+OCC = OCC_MODE != "0"
+# Strip-table refresh period (consumed runs between refreshes).  1 —
+# refresh after every run — measured best in the CPU replay
+# (scripts/occ_stats.py, shadow grid: 82.6 / 81.9 / 78.8 % eval drop for
+# period 1/2/4; tiles average only a few runs, so coarser periods miss
+# the window entirely on sparse tiles).  The refresh is ~nstrips
+# cross-lane reduces — cheap next to even a one-chunk run evaluation.
+OCC_PERIOD = int(_os.environ.get("KANI_OCC_PERIOD", "1"))
 # Phase-1 tournament shape.  "tree" materializes all SUBBATCH candidate
 # z planes and merges pairwise (short dependency chain, but up to 16
 # live (tile_h, tile_w) arrays -> heavy vreg pressure / spill); "run"
@@ -151,6 +175,107 @@ def _run_chunk_sweep(chunk_buf, slot, cid0, ln, mask, fast, eval_subbatch):
                 @pl.when((mk >> b) % 2 > 0)
                 def _(rows=rows, cid=cid, b=b):
                     eval_subbatch(rows, cid, b, fast=fast)
+def _occ_strip_fns(strips_ref, z_ref, nstrips, srows):
+    """Per-tile strip z-max table ops (sub-tile occlusion culling).
+
+    ``strips_ref``: SMEM (1, 16) f32; entries [0, nstrips) hold an upper
+    bound on max(z_ref[strip rows]) as of the last refresh — z only
+    decreases, so stale values are conservative.  ``range_max`` returns
+    the max over strips [ys0, ys1] as an unrolled scalar select chain
+    (nstrips ≤ 16)."""
+    def init():
+        for st in range(nstrips):
+            strips_ref[0, st] = jnp.float32(1.0)
+
+    def refresh():
+        for st in range(nstrips):
+            strips_ref[0, st] = jnp.max(
+                z_ref[st * srows:(st + 1) * srows, :])
+
+    def range_max(ys0, ys1):
+        m = jnp.float32(0.0)
+        for st in range(nstrips):
+            v = strips_ref[0, st]
+            m = jnp.maximum(
+                m, jnp.where((st >= ys0) & (st <= ys1), v, 0.0))
+        return m
+
+    return init, refresh, range_max
+
+
+def _run_pipeline(occ, count, dma, get_run, get_mask, get_zocc, flags_ref,
+                  range_max, refresh, eval_run):
+    """Shared NBUF-deep run DMA pipeline with the issue-time occlusion
+    skip.
+
+    The skip decision is made when the run's DMA WOULD be issued
+    (NBUF−1 runs ahead of consumption), so a skipped run pays neither
+    the fetch nor the eval.  Validity: zbound = 1 − qz·2⁻²² ≤ the true
+    depth of every pixel the run can cover (binning.bin_stream), the
+    strip table only ever tightens (z is a running min), and the
+    decision is recorded in ``flags_ref`` so DMA start/wait stay
+    perfectly paired per slot.  qz = 0 (padded / occlusion-less payload)
+    never skips by construction.  ``eval_run(s, slot, cid0, cf, ln,
+    mask)`` does the kernel-specific work; the strip table refreshes
+    every OCC_PERIOD consumed runs."""
+    def issue(r):
+        if not occ:
+            dma(r % NBUF, get_run(r)[0]).start()
+            return
+        e3 = get_zocc(r)
+        q = e3 // 256
+        zbound = 1.0 - q.astype(jnp.float32) * (2.0 ** -binning.OCC_QBITS)
+        m = range_max((e3 // 16) % 16, e3 % 16)
+        sk = jnp.logical_and(q > 0, zbound > m)
+        flags_ref[r // 128, r % 128] = sk.astype(jnp.int32)
+
+        @pl.when(~sk)
+        def _():
+            dma(r % NBUF, get_run(r)[0]).start()
+
+    for w in range(NBUF - 1):
+        @pl.when(w < count)
+        def _(w=w):
+            issue(w)
+
+    def run_body(s, _):
+        slot = s % NBUF
+
+        @pl.when(s + NBUF - 1 < count)
+        def _():
+            issue(s + NBUF - 1)
+
+        cid0, cf, ln = get_run(s)
+        mask = get_mask(s)
+        if occ:
+            @pl.when(flags_ref[s // 128, s % 128] == 0)
+            def _():
+                # DMA start/wait must stay paired, so the wait is
+                # unconditional here — but the strips may have tightened
+                # in the NBUF−1 runs since the issue decision, so
+                # re-check before paying the eval.
+                dma(slot, cid0).wait()
+                e3 = get_zocc(s)
+                q = e3 // 256
+                zb = 1.0 - q.astype(jnp.float32) \
+                    * (2.0 ** -binning.OCC_QBITS)
+                m = range_max((e3 // 16) % 16, e3 % 16)
+
+                @pl.when(jnp.logical_or(zb <= m, q == 0))
+                def _():
+                    eval_run(s, slot, cid0, cf, ln, mask)
+
+            @pl.when(s % OCC_PERIOD == OCC_PERIOD - 1)
+            def _():
+                refresh()
+        else:
+            dma(slot, cid0).wait()
+            eval_run(s, slot, cid0, cf, ln, mask)
+        return 0
+
+    jax.lax.fori_loop(0, count, run_body, 0)
+
+
 # >128-triangle chunks break the phase-2 128-lane LUT.
 assert CHUNK_SIZE <= 128, \
     f"KANI_CHUNK_SIZE={CHUNK_SIZE} must be at most 128"
@@ -196,13 +321,15 @@ def _list_plumbing(hdr_ref, lists_hbm, list_smem, list_sem, tile_id, *,
                    stream_cpad, num_tiles):
     """Per-tile run-list access for both binning layouts.
 
-    Returns (start_fetch, wait_fetch, get_count, get_run, get_mask) with
-    ``get_run(s) -> (cid0, cf, len)`` — cf is the run's clip-free bit
-    (constant 0 on the packed layout, which has no spare entry bit, and
-    under KANI_RUNCF=0).  ``stream_cpad`` None = packed-block layout (one
+    Returns (start_fetch, wait_fetch, get_count, get_run, get_mask,
+    get_zocc) with ``get_run(s) -> (cid0, cf, len)`` — cf is the run's
+    clip-free bit (constant 0 on the packed layout, which has no spare
+    entry bit, and under KANI_RUNCF=0) — and ``get_zocc(s)`` the run's
+    occlusion payload (stream lane 2; constant 0 on the packed layout).
+    ``stream_cpad`` None = packed-block layout (one
     (16, 128) block per tile: [count, cid0·16+len entries …, per-run
     masks …]); an int = the flat stream layout (binning.StreamBins:
-    window rows [row0, row0+W) of the (NR, 2, 128) stream +
+    window rows [row0, row0+W) of the (NR, 3, 128) stream +
     scalar-prefetched (row0, offset, count); entry =
     (tile·cpad+cid0)·32 + cf·16 + len).
 
@@ -230,7 +357,10 @@ def _list_plumbing(hdr_ref, lists_hbm, list_smem, list_sem, tile_id, *,
             # Per-run subbatch bits (second half of the packed block).
             return list_smem[8 + s // 128, s % 128]
 
-        return dma.start, dma.wait, get_count, get_run, get_mask
+        def get_zocc(s):
+            return jnp.int32(0)
+
+        return dma.start, dma.wait, get_count, get_run, get_mask, get_zocc
 
     loff = hdr_ref[1, tile_id]
     W = list_smem.shape[1]
@@ -270,21 +400,33 @@ def _list_plumbing(hdr_ref, lists_hbm, list_smem, list_sem, tile_id, *,
         t = loff + s
         return list_smem[slot, t // 128, 1, t % 128]
 
-    return start_fetch, wait_fetch, get_count, get_run, get_mask
+    def get_zocc(s):
+        t = loff + s
+        return list_smem[slot, t // 128, 2, t % 128]
+
+    return start_fetch, wait_fetch, get_count, get_run, get_mask, get_zocc
 
 
 def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
-                   b1_ref, b2_ref, list_smem, chunk_buf, list_sem, sem, *,
+                   b1_ref, b2_ref, list_smem, chunk_buf, strips_ref,
+                   flags_ref, list_sem, sem, *,
                    tile_h, tile_w, tiles_x, num_tiles, wireframe,
-                   wire_thresh, depth_only, stream_cpad, dual_cf):
+                   wire_thresh, depth_only, stream_cpad, dual_cf, occ):
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile_id = i * tiles_x + j
 
-    start_fetch, wait_fetch, get_count, get_run, get_mask = _list_plumbing(
+    (start_fetch, wait_fetch, get_count, get_run, get_mask,
+     get_zocc) = _list_plumbing(
         hdr_ref, lists_hbm, list_smem, list_sem, tile_id,
         stream_cpad=stream_cpad, num_tiles=num_tiles)
     start_fetch()
+
+    occ_init, occ_refresh, occ_range_max = _occ_strip_fns(
+        strips_ref, z_ref, binning.occ_nstrips(tile_h),
+        binning.occ_strip_rows(tile_h))
+    if occ:
+        occ_init()
 
     z_ref[:] = jnp.ones_like(z_ref)
     if not depth_only:
@@ -302,13 +444,6 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
         return pltpu.make_async_copy(
             setup_hbm.at[pl.ds(cid0, RUN_CHUNKS)], chunk_buf.at[slot],
             sem.at[slot])
-
-    # Warm the pipeline: start up to NBUF-1 run fetches ahead so the
-    # per-run DMA latency overlaps several iterations of compute.
-    for w in range(NBUF - 1):
-        @pl.when(w < count)
-        def _(w=w):
-            dma(w % NBUF, get_run(w)[0]).start()
 
     tx0f = (j * tile_w).astype(jnp.float32)
     ty0f = (i * tile_h).astype(jnp.float32)
@@ -415,17 +550,7 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
         b1_ref[:] = jnp.where(hit, w1, b1_ref[:])
         b2_ref[:] = jnp.where(hit, w2, b2_ref[:])
 
-    def run_body(s, _):
-        slot = s % NBUF
-
-        @pl.when(s + NBUF - 1 < count)
-        def _():
-            dma((s + NBUF - 1) % NBUF, get_run(s + NBUF - 1)[0]).start()
-
-        cid0, cf, ln = get_run(s)
-        mask = get_mask(s)
-        dma(slot, cid0).wait()
-
+    def eval_run(s, slot, cid0, cf, ln, mask):
         if dual_cf:
             # One scalar branch per run: certified runs drop the two
             # depth-clip coverage terms (−3 VPU ops/triangle·tile).
@@ -441,9 +566,9 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
         else:
             _run_chunk_sweep(chunk_buf, slot, cid0, ln, mask, False,
                              eval_subbatch)
-        return 0
 
-    jax.lax.fori_loop(0, count, run_body, 0)
+    _run_pipeline(occ, count, dma, get_run, get_mask, get_zocc, flags_ref,
+                  occ_range_max, occ_refresh, eval_run)
 
 
 def _list_scratch(num_chunks: int, cfg_k: int, cfg_g: int, bins):
@@ -452,7 +577,7 @@ def _list_scratch(num_chunks: int, cfg_k: int, cfg_g: int, bins):
     doubled for the cross-tile prefetch (see _list_plumbing)."""
     if isinstance(bins, binning.StreamBins):
         W = binning.stream_win_rows(cfg_k, cfg_g)
-        return (pltpu.SMEM((2, W, 2, 128), jnp.int32),
+        return (pltpu.SMEM((2, W, 3, 128), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
                 [bins.header, bins.stream],
                 binning.stream_cpad_for(num_chunks))
@@ -462,7 +587,7 @@ def _list_scratch(num_chunks: int, cfg_k: int, cfg_g: int, bins):
 
 def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
          tile_w: int, tile_h: int, wireframe: bool, wire_thresh: float,
-         depth_only: bool, cfg_k: int, cfg_g: int):
+         depth_only: bool, cfg_k: int, cfg_g: int, occ: bool = False):
     C = setup.shape[0] // CHUNK_SIZE
     # RUN_CHUNKS-1 zero tail chunks keep the fixed-size run DMA in-bounds
     # for runs starting near the end.  NOTE: all-zero pad rows would pass
@@ -486,7 +611,8 @@ def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
         wireframe=wireframe, wire_thresh=wire_thresh, depth_only=depth_only,
         stream_cpad=stream_cpad,
         dual_cf=(stream_cpad is not None and RUNCF
-                 and binning.stream_has_cf(tiles_x * tiles_y, C)))
+                 and binning.stream_has_cf(tiles_x * tiles_y, C)),
+        occ=(occ and stream_cpad is not None and cfg_k + cfg_g <= 1024))
 
     stream = stream_cpad is not None
     bmap = ((lambda i, j, hdr: (i, j)) if stream else (lambda i, j: (i, j)))
@@ -505,6 +631,8 @@ def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
     scratch_shapes = [
         list_scratch,
         pltpu.VMEM((NBUF, RUN_CHUNKS, CHUNK_SIZE, REC_WIDTH), jnp.float32),
+        pltpu.SMEM((1, 16), jnp.float32),   # occlusion strip z-max table
+        pltpu.SMEM((8, 128), jnp.int32),    # per-run issue-skip flags
         list_sem_t,
         pltpu.SemaphoreType.DMA((NBUF,)),
     ]
@@ -512,9 +640,9 @@ def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
     if stream:
         if depth_only:
             def kern(hdr, lists_hbm, setup_hbm, z_ref, list_smem, chunk_buf,
-                     list_sem, sem):
+                     strips, flags, list_sem, sem):
                 kernel(hdr, lists_hbm, setup_hbm, z_ref, None, None, None,
-                       list_smem, chunk_buf, list_sem, sem)
+                       list_smem, chunk_buf, strips, flags, list_sem, sem)
         else:
             kern = kernel
         outs = pl.pallas_call(
@@ -532,9 +660,9 @@ def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
     else:
         if depth_only:
             def kern(lists_hbm, setup_hbm, z_ref, list_smem, chunk_buf,
-                     list_sem, sem):
+                     strips, flags, list_sem, sem):
                 kernel(None, lists_hbm, setup_hbm, z_ref, None, None, None,
-                       list_smem, chunk_buf, list_sem, sem)
+                       list_smem, chunk_buf, strips, flags, list_sem, sem)
         else:
             def kern(lists_hbm, setup_hbm, *rest):
                 kernel(None, lists_hbm, setup_hbm, *rest)
@@ -550,23 +678,42 @@ def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
     return outs
 
 
-def _bin(bbox, tiles_x, tiles_y, tile_w, tile_h, S, K, G, clipfree):
+def _occ_on(num_tiles: int, tile_h: int, zmin, depth_only: bool = False
+            ) -> bool:
+    """Static predicate: sub-tile occlusion is active for this grid —
+    must be used identically by the binner call and the kernel compile
+    (a z-ordered stream with an occlusion-blind kernel is merely an
+    ordering change; the reverse would mis-skip — prevented belt-and-
+    braces by the kernel's q == 0 never-skip guard)."""
+    if OCC_MODE == "shadow" and not depth_only:
+        return False
+    return (OCC and BIN_MODE == "stream" and zmin is not None
+            and binning.stream_has_occ(num_tiles, tile_h))
+
+
+def _bin(bbox, tiles_x, tiles_y, tile_w, tile_h, S, K, G, clipfree,
+         zmin=None, depth_only=False):
     binner = binning.bin_stream if BIN_MODE == "stream" else binning.bin_chunks
     return binner(bbox, tiles_x, tiles_y, tile_w, tile_h, S, K, G,
-                  clipfree=clipfree)
+                  clipfree=clipfree,
+                  zmin=zmin if _occ_on(tiles_x * tiles_y, tile_h, zmin,
+                                       depth_only)
+                  else None)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "wireframe"))
 def rasterize(st: TriangleSetup, config: RenderConfig,
               wireframe: bool = False) -> VisBuffer:
     cfg = config
+    occ = _occ_on(cfg.tiles_x * cfg.tiles_y, cfg.tile_h, st.zmin)
     bins = _bin(st.bbox, cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h,
                 cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
-                cfg.max_global_chunks, st.clipfree)
+                cfg.max_global_chunks, st.clipfree, st.zmin)
     z, tri, b1, b2 = _run(st.setup, bins, cfg.tiles_x, cfg.tiles_y,
                           cfg.tile_w, cfg.tile_h, wireframe,
                           cfg.wire_thresh_px, False,
-                          cfg.max_chunks_per_tile, cfg.max_global_chunks)
+                          cfg.max_chunks_per_tile, cfg.max_global_chunks,
+                          occ=occ)
     H, W = cfg.height, cfg.width
     return VisBuffer(tri=tri[:H, :W], z=z[:H, :W],
                      bary=jnp.stack([b1[:H, :W], b2[:H, :W]], axis=-1))
@@ -575,9 +722,9 @@ def rasterize(st: TriangleSetup, config: RenderConfig,
 def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                   tw_ref, th_ref, base_ref, bw_ref, tid_ref, list_smem,
                   chunk_buf, fat_buf, cand_ref, win_smem, cnt_smem,
-                  list_sem, sem, *, tile_h,
+                  strips_ref, flags_ref, list_sem, sem, *, tile_h,
                   tile_w, tiles_x, num_tiles, wireframe, wire_thresh,
-                  stream_cpad, dual_cf):
+                  stream_cpad, dual_cf, occ):
     """Raster + interpolate in one pass over the tile's run list.
 
     Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
@@ -600,10 +747,17 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
     j = pl.program_id(1)
     tile_id = i * tiles_x + j
 
-    start_fetch, wait_fetch, get_count, get_run, get_mask = _list_plumbing(
+    (start_fetch, wait_fetch, get_count, get_run, get_mask,
+     get_zocc) = _list_plumbing(
         hdr_ref, lists_hbm, list_smem, list_sem, tile_id,
         stream_cpad=stream_cpad, num_tiles=num_tiles)
     start_fetch()
+
+    occ_init, occ_refresh, occ_range_max = _occ_strip_fns(
+        strips_ref, z_ref, binning.occ_nstrips(tile_h),
+        binning.occ_strip_rows(tile_h))
+    if occ:
+        occ_init()
 
     z_ref[:] = jnp.ones_like(z_ref)
     cand_ref[:] = jnp.full_like(cand_ref, -1)
@@ -615,11 +769,6 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         return pltpu.make_async_copy(
             rec_hbm.at[pl.ds(cid0, RUN_CHUNKS)], chunk_buf.at[slot],
             sem.at[slot])
-
-    for w in range(NBUF - 1):
-        @pl.when(w < count)
-        def _(w=w):
-            dma(w % NBUF, get_run(w)[0]).start()
 
     tx0f = (j * tile_w).astype(jnp.float32)
     ty0f = (i * tile_h).astype(jnp.float32)
@@ -702,17 +851,7 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         local = b * SUBBATCH + win_k.astype(jnp.int32)
         cand_ref[:] = jnp.where(hit, cid * CHUNK_SIZE + local, cand_ref[:])
 
-    def run_body(s, _):
-        slot = s % NBUF
-
-        @pl.when(s + NBUF - 1 < count)
-        def _():
-            dma((s + NBUF - 1) % NBUF, get_run(s + NBUF - 1)[0]).start()
-
-        cid0, cf, ln = get_run(s)
-        mask = get_mask(s)
-        dma(slot, cid0).wait()
-
+    def eval_run(s, slot, cid0, cf, ln, mask):
         if dual_cf:
             # One scalar branch per run: certified runs drop the two
             # depth-clip coverage terms (−3 VPU ops/triangle·tile).
@@ -728,9 +867,9 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
         else:
             _run_chunk_sweep(chunk_buf, slot, cid0, ln, mask, False,
                              eval_subbatch)
-        return 0
 
-    jax.lax.fori_loop(0, count, run_body, 0)
+    _run_pipeline(occ, count, dma, get_run, get_mask, get_zocc, flags_ref,
+                  occ_range_max, occ_refresh, eval_run)
 
     # ---- phase 2: winner-chunk record interpolation ----
     for c in range(USED):
@@ -938,7 +1077,7 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
 def _run_fused(rec_c: Array, bins,
                tile_w: int, tile_h: int, tiles_x: int, tiles_y: int,
                wireframe: bool, wire_thresh: float,
-               cfg_k: int, cfg_g: int):
+               cfg_k: int, cfg_g: int, occ: bool = False):
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
     C = rec_c.shape[0] - (RUN_CHUNKS - 1)   # rec_c carries the DMA tail pad
     list_scratch, list_sem_t, list_ops, stream_cpad = _list_scratch(
@@ -949,7 +1088,8 @@ def _run_fused(rec_c: Array, bins,
         wireframe=wireframe, wire_thresh=wire_thresh,
         stream_cpad=stream_cpad,
         dual_cf=(stream_cpad is not None and RUNCF
-                 and binning.stream_has_cf(tiles_x * tiles_y, C)))
+                 and binning.stream_has_cf(tiles_x * tiles_y, C)),
+        occ=(occ and stream_cpad is not None and cfg_k + cfg_g <= 1024))
 
     stream = stream_cpad is not None
     bmap = ((lambda i, j, hdr: (i, j)) if stream else (lambda i, j: (i, j)))
@@ -973,6 +1113,8 @@ def _run_fused(rec_c: Array, bins,
         pltpu.VMEM((tile_h, tile_w), jnp.int32),
         pltpu.SMEM((8, 128), jnp.int32),
         pltpu.SMEM((1, 1), jnp.int32),
+        pltpu.SMEM((1, 16), jnp.float32),   # occlusion strip z-max table
+        pltpu.SMEM((8, 128), jnp.int32),    # per-run issue-skip flags
         list_sem_t,
         pltpu.SemaphoreType.DMA((NBUF,)),
     ]
@@ -1042,9 +1184,10 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
         rcols = jnp.array([2, 5, 8, 11, 14, LSUM0 + 2])
         records = records.at[:, rcols].add(records[:, rcols - 1] * y0f)
     tiles_y = -(-band_h // cfg.tile_h)
+    occ = _occ_on(cfg.tiles_x * tiles_y, cfg.tile_h, st.zmin)
     bins = _bin(bbox, cfg.tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
                 cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
-                cfg.max_global_chunks, st.clipfree)
+                cfg.max_global_chunks, st.clipfree, st.zmin)
     C = setup.shape[0] // CHUNK_SIZE
     assert records.shape[1] == REC_WIDTH, \
         f"records must be {REC_WIDTH}-lane (got {records.shape[1]}) — " \
@@ -1058,7 +1201,7 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
     z, vary, mat, tw, th, base, bw, tid = _run_fused(
         rec_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, tiles_y,
         wireframe, cfg.wire_thresh_px,
-        cfg.max_chunks_per_tile, cfg.max_global_chunks)
+        cfg.max_chunks_per_tile, cfg.max_global_chunks, occ=occ)
     H, W = band_h, cfg.width
     return PixelBuffer(varyings=vary[:, :H, :W], mat_id=mat[:H, :W],
                        tex_w=tw[:H, :W], tex_h=th[:H, :W],
@@ -1097,11 +1240,14 @@ def rasterize_depth(st: TriangleSetup, config: RenderConfig,
         bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
     tiles_x = -(-dim // cfg.tile_w)
     tiles_y = -(-H // th)
+    occ = _occ_on(tiles_x * tiles_y, th, st.zmin, depth_only=True)
     if bins is None:
         bins = _bin(bbox, tiles_x, tiles_y, cfg.tile_w, th,
                     cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
-                    cfg.max_global_chunks, st.clipfree)
+                    cfg.max_global_chunks, st.clipfree, st.zmin,
+                    depth_only=True)
     (z,) = _run(setup, bins, tiles_x, tiles_y, cfg.tile_w, th,
                 False, 0.0, True,
-                cfg.shadow_chunks_per_tile, cfg.max_global_chunks)
+                cfg.shadow_chunks_per_tile, cfg.max_global_chunks,
+                occ=occ)
     return z[:H, :dim]

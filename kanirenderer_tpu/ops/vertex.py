@@ -210,6 +210,13 @@ class TriangleSetup(NamedTuple):
     #                depth clip exactly (see _setup_from_corner_planes), so
     #                the raster kernels may drop the two clip terms from
     #                the coverage test for chunks of clip-free triangles
+    zmin: Array = None  # (T,) f32 — conservative lower bound on the NDC
+    #                depth of any COVERED pixel (min over bias-shifted
+    #                vertex z/w, clamped to ≥ 0 — covered pixels pass the
+    #                z ≥ 0 clip, so 0 is always a valid bound; external
+    #                near-plane crossers use exactly 0).  Drives the
+    #                binner's front-to-back run order and the kernels'
+    #                sub-tile occlusion skip (ops/binning.bin_stream).
 
 
 def triangle_setup(clip: Array, tri_idx: Array, tri_valid: Array,
@@ -344,6 +351,7 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
     clipfree_geo = all3(lambda k: (zb[k] >= 0.0) & (w[k] - zb[k] >= 0.0)) \
         & zsafe
 
+
     # Screen bbox of the VISIBLE portion.  External (near-plane-crossing)
     # triangles would project to unbounded regions, so the bbox — and only
     # the bbox; coverage stays homogeneous and clip-free — is computed from
@@ -378,12 +386,32 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
         max_x = jnp.maximum(max_x, jnp.where(crosses, ix, -inf))
         max_y = jnp.maximum(max_y, jnp.where(crosses, iy, -inf))
 
-    x0 = jnp.clip(jnp.floor(min_x), 0, width)
-    y0 = jnp.clip(jnp.floor(min_y), 0, height)
-    x1 = jnp.clip(jnp.ceil(max_x) + 1.0, 0, width)
-    y1 = jnp.clip(jnp.ceil(max_y) + 1.0, 0, height)
+    # width/height may be TRACED scalars (the resize-without-recompile
+    # path renders into a static padded target while the live view size
+    # rides the trace — runtime/loop.py); every use below is jnp math.
+    wf = jnp.asarray(width, jnp.float32)
+    hf = jnp.asarray(height, jnp.float32)
+    x0 = jnp.clip(jnp.floor(min_x), 0, wf)
+    y0 = jnp.clip(jnp.floor(min_y), 0, hf)
+    x1 = jnp.clip(jnp.ceil(max_x) + 1.0, 0, wf)
+    y1 = jnp.clip(jnp.ceil(max_y) + 1.0, 0, hf)
     onscreen = (x1 > x0) & (y1 > y0)
     valid = valid & onscreen
+
+    # Conservative per-triangle depth lower bound for occlusion culling:
+    # z(p) is affine over the triangle, so its minimum over covered pixels
+    # sits at a vertex (zb[k]/w[k], the bias-shifted NDC z).  Covered
+    # pixels also pass the z ≥ 0 depth clip (explicitly, or via the
+    # clip-free certification), so clamping at 0 keeps the bound valid —
+    # and external triangles (any w ≤ eps; vertex z/w unbounded) simply
+    # take 0, the never-skip value.  Invalid triangles take +inf so they
+    # never loosen their chunk's bound (ops/binning.bin_stream reduces
+    # per-chunk minima).
+    anyback = ~(front[0] & front[1] & front[2])
+    zv = [zb[k] / jnp.where(front[k], w[k], 1.0) for k in range(3)]
+    zmin_t = jnp.minimum(jnp.minimum(zv[0], zv[1]), zv[2])
+    zmin_t = jnp.where(anyback, 0.0, jnp.maximum(zmin_t, 0.0))
+    zmin_t = jnp.where(valid, zmin_t, jnp.inf)
     # Invalid rows (zeroed, l0 ≡ −1 — never covered) count as clip-free
     # so tail-padded and offscreen-member chunks stay on the fast path;
     # computed from the FINAL validity so a triangle invalidated only by
@@ -392,8 +420,8 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
     # Invalid triangles get an empty bbox so binning skips them.
     x1 = jnp.where(valid, x1, 0.0)
     y1 = jnp.where(valid, y1, 0.0)
-    x0 = jnp.where(valid, x0, float(width))
-    y0 = jnp.where(valid, y0, float(height))
+    x0 = jnp.where(valid, x0, wf)
+    y0 = jnp.where(valid, y0, hf)
 
     # Invalid triangles get zeroed rows with e0.c = −1 (l0 ≡ −1 → never
     # covered anywhere), so the rasterizers need no separate validity
@@ -416,4 +444,5 @@ def _setup_from_corner_planes(x, y, z, w, tri_valid, width, height,
     # raster streams slabs of this array, so it gets the same production.
     setup = jax.lax.optimization_barrier(jnp.stack(planes, axis=0)).T
     bbox = jnp.stack([x0, y0, x1, y1], axis=1)
-    return TriangleSetup(setup=setup, bbox=bbox, clipfree=clipfree), planes
+    return TriangleSetup(setup=setup, bbox=bbox, clipfree=clipfree,
+                         zmin=zmin_t), planes

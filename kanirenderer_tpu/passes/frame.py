@@ -175,7 +175,8 @@ def render_shadow_geometry(scene: Scene, state: FrameState,
         bins = raster_pallas._bin(
             sh_setup.bbox, tiles_x, tiles_y, cfg.tile_w, cfg.shadow_tile_h,
             cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
-            cfg.max_global_chunks, sh_setup.clipfree)
+            cfg.max_global_chunks, sh_setup.clipfree, sh_setup.zmin,
+            depth_only=True)
     return sh_setup, bins
 
 
@@ -188,7 +189,8 @@ def render_band(scene: Scene, state: FrameState,
                 band_h: int | None = None, y0=None,
                 shadow_axis: str | None = None,
                 shadow_bands: int = 1,
-                band_axis: str | None = None) -> FrameOutputs:
+                band_axis: str | None = None,
+                view_wh: Array | None = None) -> FrameOutputs:
     """The frame pipeline body, optionally restricted to a row band.
 
     This is the ONE implementation of the per-frame pass sequence; both
@@ -218,8 +220,23 @@ def render_band(scene: Scene, state: FrameState,
     mode = cfg.mode
     banded = band_h is not None
 
+    # Resize-without-recompile (reference State::resize is an instant
+    # surface reconfigure, src/lib.rs:1166; an XLA recompile is not):
+    # ``view_wh`` — a TRACED (2,) f32 [view_w, view_h] — makes the
+    # projection aspect and the raster extent follow the live window size
+    # while every static shape (tile grid, output buffers) stays at the
+    # bucketed cfg.width × cfg.height padded target; the host crops the
+    # output to the view at present (runtime/loop.py).  DEBUG overlays
+    # stay anchored to the padded frame (documented limitation).
+    if view_wh is not None:
+        vw, vh = view_wh[0], view_wh[1]
+        aspect = vw / vh
+    else:
+        vw, vh = cfg.width, cfg.height
+        aspect = cfg.aspect
+
     # --- per-frame uniform math (≈ State::update, src/lib.rs:1382-1704) ---
-    proj = math3d.perspective(jnp.deg2rad(cfg.fovy_deg), cfg.aspect,
+    proj = math3d.perspective(jnp.deg2rad(cfg.fovy_deg), aspect,
                               cfg.znear, cfg.zfar)
     view = math3d.camera_view_matrix(state.camera.position, state.camera.yaw,
                                      state.camera.pitch)
@@ -316,11 +333,11 @@ def render_band(scene: Scene, state: FrameState,
     wireframe = mode == RenderMode.WIREFRAME
     if use_corners:
         setup, setup_planes = triangle_setup_corners(
-            vout.clip, scene.tri_valid, cfg.width, cfg.height,
+            vout.clip, scene.tri_valid, vw, vh,
             cull_backfaces=not wireframe)
     else:
         setup = triangle_setup(vout.clip, scene.tri_idx, scene.tri_valid,
-                               cfg.width, cfg.height,
+                               vw, vh,
                                cull_backfaces=not wireframe)
         setup_planes = None
     pix = _raster_interpolate(scene, vout, setup, cfg, wireframe,
@@ -369,6 +386,19 @@ def render_band(scene: Scene, state: FrameState,
     def encode(img):
         return jnp.clip(img, 0.0, 1.0) if cfg.hdr else linear_to_srgb(img)
 
+    def downscale(img, channel_last):
+        # Present-path preview (RenderConfig.present_scale): box-average
+        # the ENCODED surface by p on device so the host fetch moves p²
+        # less data.  Sub-ms: a pure reshape-mean on the planar layout.
+        p = cfg.present_scale
+        if p <= 1:
+            return img
+        if channel_last:
+            H, W = img.shape[0] // p * p, img.shape[1] // p * p
+            return img[:H, :W].reshape(H // p, p, W // p, p, 3).mean((1, 3))
+        H, W = img.shape[1] // p * p, img.shape[2] // p * p
+        return img[:, :H, :W].reshape(3, H // p, p, W // p, p).mean((2, 4))
+
     def quantize(img):
         # On-device surface store: Rgba8 for LDR (== runtime/display.
         # to_uint8 exactly), Rgba16Float for HDR (src/lib.rs:321-329).
@@ -400,9 +430,11 @@ def render_band(scene: Scene, state: FrameState,
             image = overlay.debug_texture_quad(image, dbg_tex, cfg.znear,
                                                cfg.zfar)
             image = overlay.frame_time_graph(image, state.frame_times_ms)
-        image = quantize(encode(image))
+        image = quantize(downscale(encode(image), channel_last=True))
     else:
-        image = jnp.transpose(quantize(encode(image)), (1, 2, 0))
+        image = jnp.transpose(
+            quantize(downscale(encode(image), channel_last=False)),
+            (1, 2, 0))
     if external_shadow or shadow_emit is None:
         # Never pass an input buffer through to an output: input-output
         # aliased executables corrupt runtime state on re-execution with
@@ -421,7 +453,8 @@ def render_frame(scene: Scene, state: FrameState,
                  shadow_map: Array | None = None,
                  use_cached_shadow: Array | None = None,
                  shadow_table: Array | None = None,
-                 shadow_geom=None) -> FrameOutputs:
+                 shadow_geom=None,
+                 view_wh: Array | None = None) -> FrameOutputs:
     """Render one full frame (jitted; one executable per static config).
 
     Shadow-map caching (steady-state interactive behavior; the reference
@@ -434,7 +467,8 @@ def render_frame(scene: Scene, state: FrameState,
     statically external (legacy two-executable path, used by tests).
     """
     return render_band(scene, state, config, shadow_map, use_cached_shadow,
-                       shadow_table=shadow_table, shadow_geom=shadow_geom)
+                       shadow_table=shadow_table, shadow_geom=shadow_geom,
+                       view_wh=view_wh)
 
 
 def linearize_depth(depth: Array, znear: float, zfar: float) -> Array:

@@ -60,6 +60,29 @@ class Events(NamedTuple):
 
 PRESENT_MODES = ["AutoVsync", "AutoNoVsync", "Fifo", "Immediate"]
 
+# Render-target size ladder for drag-resize (State::resize is an instant
+# surface reconfigure in the reference, src/lib.rs:1166; here a changed
+# static shape is an XLA recompile — seconds to minutes on remote
+# runtimes).  Resizes render into the next ladder size ≥ the view (at
+# most a handful of executables per session, each compiled once and then
+# cache-hit on revisit) while the TRACED view size drives projection and
+# raster extent (passes/frame.render_band view_wh) and the host crops the
+# padded output to the view at present — exact framing, no recompile
+# between ladder steps.
+_SIZE_LADDER = (256, 384, 512, 768, 1024, 1280, 1536, 1920, 2560, 3840)
+
+
+def _bucket(v: int) -> int:
+    for s in _SIZE_LADDER:
+        if v <= s:
+            return s
+    return -(-int(v) // 128) * 128
+
+
+# Consecutive frame-failure limit before the loop gives up (the
+# reference's OutOfMemory → exit analog, src/lib.rs:2156).
+_MAX_HEAL_STREAK = 3
+
 
 @dataclasses.dataclass
 class AppState:
@@ -174,11 +197,36 @@ def run_loop(scene: Scene, events: Iterable[Events],
     def _host(tree):
         return jax.tree.map(np.asarray, tree)
 
+    def _present_frame(out, view, scale):
+        """Fetch + finish one frame: upscale the device-downsampled
+        preview (RenderConfig.present_scale) and crop to the view."""
+        img = np.asarray(to_uint8(out.image))
+        if scale > 1:
+            img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
+        if view is not None and (img.shape[1], img.shape[0]) != view:
+            img = img[:view[1], :view[0]]
+        return img
+
     # Swapchain-style double buffering: the frame dispatched on iteration
     # N is presented on iteration N+1 (one frame of latency, like any
     # real swapchain), so the device→host frame transfer of frame N
     # overlaps frame N+1's on-device compute.
     pending = None
+    pending_view = None
+    pending_scale = 1
+    # Exact view size; differs from the (padded) config dims after a
+    # resize — see _SIZE_LADDER.
+    view_size = (cfg.width, cfg.height)
+    # Device-loss recovery (the reference's SurfaceError::Lost → resize /
+    # OutOfMemory → exit, src/lib.rs:2153-2157): a failed execution can
+    # poison remote-runtime device state (every later fetch raises
+    # INVALID_ARGUMENT — docs/PERFORMANCE.md rule 4).  On a frame failure
+    # the loop snapshots the scene to host, drops every compiled
+    # executable and cached device buffer, re-uploads, and continues;
+    # after _MAX_HEAL_STREAK consecutive failures (or if the snapshot
+    # itself fails — the buffers are gone) it re-raises, the exit analog.
+    healed = 0
+    heal_streak = 0
 
     for ev in events:
         if ev.quit or (max_frames is not None and frames >= max_frames):
@@ -205,12 +253,17 @@ def run_loop(scene: Scene, events: Iterable[Events],
             except Exception as e:  # missing/corrupt file: keep rendering
                 log.warn("file drop failed for %r: %s", ev.dropped_file, e)
 
-        # --- window resize (State::resize, src/lib.rs:1166): new surface
-        # + depth texture ≡ a new static config (recompiles once) ---
+        # --- window resize (State::resize, src/lib.rs:1166): the render
+        # target snaps to the size LADDER (recompiles only on a ladder
+        # step); the exact view size rides the trace (view_wh) and the
+        # present path crops — see _SIZE_LADDER above ---
         if ev.resize is not None:
             w, h = ev.resize
             if w > 0 and h > 0:
-                app.config = app.config.with_(width=int(w), height=int(h))
+                view_size = (int(w), int(h))
+                bw, bh = _bucket(int(w)), _bucket(int(h))
+                if (bw, bh) != (app.config.width, app.config.height):
+                    app.config = app.config.with_(width=bw, height=bh)
 
         # --- hotkeys (State::input, src/lib.rs:1208-1379) ---
         p = ev.pressed
@@ -300,25 +353,56 @@ def run_loop(scene: Scene, events: Iterable[Events],
                                 (app.config.shadow_dim,) * 2, jnp.float32))))
                     tbl = shadow_ones
             shadow_prev_key = key
-            out = render_frame(scene, state, app.config, shadow_table=tbl)
         else:
-            out = render_frame(scene, state, app.config)
-        # Present the PREVIOUS frame (double buffering, see above): its
-        # transfer overlaps the dispatch we just issued.
-        if pending is not None:
-            sink.present(to_uint8(pending.image))
-            # Binning capacity overruns must not silently drop geometry
-            # (ops/binning.TileBins.overflow): warn when the count changes.
-            # Checked every 8th frame — each scalar fetch is a full
-            # host↔device round trip, and capacity is config-static.
-            if frames % 8 == 1:
-                ov = int(np.asarray(pending.raster_overflow))
-                if ov > 0 and ov != warned_overflow:
-                    log.warn("raster binning dropped %d chunk entries this "
-                             "frame — raise max_chunks_per_tile / "
-                             "max_global_chunks (RenderConfig)", ov)
-                    warned_overflow = ov
+            tbl = None
+        vwh = None
+        if view_size != (app.config.width, app.config.height):
+            vwh = jnp.asarray(view_size, jnp.float32)
+        try:
+            if tbl is not None:
+                out = render_frame(scene, state, app.config,
+                                   shadow_table=tbl, view_wh=vwh)
+            else:
+                out = render_frame(scene, state, app.config, view_wh=vwh)
+            # Present the PREVIOUS frame (double buffering, see above): its
+            # transfer overlaps the dispatch we just issued.
+            if pending is not None:
+                sink.present(_present_frame(pending, pending_view,
+                                            pending_scale))
+                # Binning capacity overruns must not silently drop geometry
+                # (ops/binning.TileBins.overflow): warn when the count
+                # changes.  Checked every 8th frame — each scalar fetch is
+                # a full host↔device round trip, capacity is config-static.
+                if frames % 8 == 1:
+                    ov = int(np.asarray(pending.raster_overflow))
+                    if ov > 0 and ov != warned_overflow:
+                        log.warn("raster binning dropped %d chunk entries "
+                                 "this frame — raise max_chunks_per_tile / "
+                                 "max_global_chunks (RenderConfig)", ov)
+                        warned_overflow = ov
+            heal_streak = 0
+        except Exception as e:
+            # Device-loss recovery (see the heal comment above the loop).
+            heal_streak += 1
+            healed += 1
+            if heal_streak > _MAX_HEAL_STREAK:
+                raise
+            log.warn("frame failed (%s: %s) — rebuilding device state "
+                     "(attempt %d)", type(e).__name__, e, heal_streak)
+            try:
+                scene_host = jax.tree.map(np.asarray, scene)
+            except Exception:
+                raise e  # device buffers unrecoverable: the exit analog
+            jax.clear_caches()
+            scene = jax.tree.map(jnp.asarray, scene_host)
+            shadow_table = None
+            shadow_key = None
+            shadow_ones = None
+            pending = None
+            continue
         pending = out
+        pending_view = view_size
+        pending_scale = app.config.present_scale
         frames += 1
 
         # --- frame pacing: the vsync-like present modes cap at 60 Hz ---
@@ -330,8 +414,8 @@ def run_loop(scene: Scene, events: Iterable[Events],
         # --- depth picking (src/lib.rs:1923-2039) ---
         if ev.click_pos is not None:
             x, y = ev.click_pos
-            x = int(np.clip(x, 0, app.config.width - 1))
-            y = int(np.clip(y, 0, app.config.height - 1))
+            x = int(np.clip(x, 0, view_size[0] - 1))
+            y = int(np.clip(y, 0, view_size[1] - 1))
             depth = float(np.asarray(out.depth)[y, x])
             lin = float(linearize_depth(jnp.float32(depth),
                                         app.config.znear, app.config.zfar))
@@ -344,7 +428,7 @@ def run_loop(scene: Scene, events: Iterable[Events],
                   f"({graph.fps:.1f} FPS) mode={app.config.mode.name}")
 
     if pending is not None:  # flush the last double-buffered frame
-        sink.present(to_uint8(pending.image))
+        sink.present(_present_frame(pending, pending_view, pending_scale))
         ov = int(np.asarray(pending.raster_overflow))
         if ov > 0 and ov != warned_overflow:
             log.warn("raster binning dropped %d chunk entries — raise "
@@ -358,6 +442,9 @@ def run_loop(scene: Scene, events: Iterable[Events],
         "mode": app.config.mode.name,
         "present_mode": PRESENT_MODES[app.present_mode],
         "picked": picked,
+        "healed": healed,
+        "view_size": view_size,
+        "render_size": (app.config.width, app.config.height),
     }
 
 

@@ -163,3 +163,54 @@ def test_ambient_only_when_unlit_directions():
     c = 20.0 * 0.0005 * 0.5
     np.testing.assert_allclose(got[:, 1, 1], np.full(3, c / (c + 1)),
                                atol=2e-6)
+
+
+def test_pcf_penumbra_ramp_hand_computed():
+    """PCF over a depth RAMP (hand-derived penumbra, reference
+    src/shader.wgsl:140-159 + the LessEqual comparison sampler,
+    src/lib.rs:761-767).  Hardware PCF compares BEFORE filtering: each
+    tap bilinearly blends per-texel 0/1 comparison results, so with
+    map(x) = (x + 0.5)/D and receiver depth c the per-texel lit bit is
+    (c <= map(x)) — a step at texel x* = c*D - 0.5 — and the 9-tap sum
+    is a piecewise-linear penumbra of width 4 texels.  A filter-before-
+    compare implementation (the classic mistake) would produce a HARD
+    step here; these values fail then."""
+    D = 16
+    xs = (np.arange(D, dtype=np.float64) + 0.5) / D
+    sm = np.tile(xs[None, :], (D, 1)).astype(np.float32)   # depth ramp in u
+    tbl = build_shadow_table(jnp.asarray(sm))
+    vv = jnp.full((1, 1), 0.5, jnp.float32)
+
+    def expected(u_texel, c):
+        # 3×3 taps of bilinear comparisons collapse (separably) to a
+        # 4-texel window [i−1, i, i+1, i+2] with weights [1−f, 1, 1, f]
+        # per axis (i = floor(u_texel), f = frac); the v axis is uniform
+        # here so the row sum appears 3× and the total divides by 9.
+        i = int(np.floor(u_texel))
+        f = u_texel - i
+
+        def lit(t):
+            t = min(max(t, 0), D - 1)
+            return 1.0 if c <= (t + 0.5) / D else 0.0
+
+        row = ((1 - f) * lit(i - 1) + lit(i) + lit(i + 1) + f * lit(i + 2))
+        return 3.0 * row / 9.0
+
+    c = 0.5  # step at texel 7.5: texels ≥ 8 lit
+    for u_texel in [5.0, 6.25, 7.0, 7.75, 8.5, 9.0, 10.5]:
+        u = jnp.full((1, 1), (u_texel + 0.5) / D, jnp.float32)
+        got = float(sample_shadow_pcf(
+            tbl, D, u, vv, jnp.full((1, 1), c, jnp.float32))[0, 0])
+        np.testing.assert_allclose(got, expected(u_texel, c), atol=1e-5,
+                                   err_msg=f"u_texel={u_texel}")
+
+
+def test_aces_tonemap_hand_computed():
+    """ACES filmic curve constants (reference src/shader_hdr.wgsl:254-265)
+    against hand-evaluated f64 values."""
+    from kanirenderer_tpu.core.color import aces_tonemap
+    for c in [0.0, 0.18, 0.5, 1.0, 2.0, 10.0]:
+        want = np.clip((c * (2.51 * c + 0.03)) / (c * (2.43 * c + 0.59)
+                                                  + 0.14), 0.0, 1.0)
+        got = float(aces_tonemap(jnp.float32(c)))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-7)

@@ -364,3 +364,126 @@ def test_packed_sort_matches_cosort_fallback(monkeypatch):
     finally:
         monkeypatch.delenv("KANI_PACK_SORT", raising=False)
         importlib.reload(bmod)
+
+
+# ---- sub-tile occlusion culling (round 4) ----
+
+def _two_layer_setup(width=256, height=128, nx=16, ny=8):
+    """Two screen-covering quad grids at constant NDC depth: a NEAR layer
+    (z = 0.2) in front of a FAR layer (z = 0.8).  Enough triangles for
+    several chunks so the binner forms multiple runs per tile; the far
+    layer is fully occluded, so the kernels' occlusion skip must fire —
+    and must not change the output."""
+    verts = []
+    tris = []
+
+    def layer(z):
+        base = len(verts)
+        for j in range(ny + 1):
+            for i in range(nx + 1):
+                x = -1.0 + 2.0 * i / nx
+                y = -1.0 + 2.0 * j / ny
+                verts.append((x, y, z, 1.0))
+        for j in range(ny):
+            for i in range(nx):
+                v0 = base + j * (nx + 1) + i
+                v1 = v0 + 1
+                v2 = v0 + (nx + 1)
+                v3 = v2 + 1
+                tris.append((v0, v1, v2))
+                tris.append((v1, v3, v2))
+
+    layer(0.2)   # near first so chunk ids put it early; the z-order
+    layer(0.8)   # sort must handle either arrangement anyway
+    T = len(tris)
+    pad = (-T) % CHUNK_SIZE
+    tris += [(0, 0, 0)] * pad
+    clip = jnp.asarray(np.array(verts, np.float32))
+    tri_idx = jnp.asarray(np.array(tris, np.int32))
+    tri_valid = jnp.asarray(np.array([True] * T + [False] * pad))
+    return triangle_setup(clip, tri_idx, tri_valid, width, height,
+                          cull_backfaces=False)
+
+
+def test_occlusion_culling_preserves_output(monkeypatch):
+    """Occlusion skip must be exactly output-preserving vs the oracle.
+    Forces KANI_OCC=1 scope (default is "shadow") with a unique config so
+    the main-raster executable traces under the patch."""
+    monkeypatch.setattr(raster_pallas, "OCC_MODE", "1")
+    monkeypatch.setattr(raster_pallas, "OCC", True)
+    cfg = kani.RenderConfig(width=256, height=160)
+    st = _two_layer_setup(height=160)
+    assert st.zmin is not None
+    assert raster_pallas._occ_on(cfg.tiles_x * cfg.tiles_y, cfg.tile_h,
+                                 st.zmin)
+    vx = raster_xla.rasterize_xla(st.setup, cfg.width, cfg.height)
+    vp = raster_pallas.rasterize(st, cfg)
+    # Constant-z layers make shared-edge ties common; compare depth (the
+    # occlusion-relevant quantity) everywhere and ids off shared edges.
+    np.testing.assert_allclose(np.asarray(vx.z), np.asarray(vp.z),
+                               atol=1e-6)
+    same = np.asarray(vx.tri) == np.asarray(vp.tri)
+    assert (~same).mean() < 0.02, (~same).mean()
+    # Depth-only (shadow-style) raster too.
+    cfg_d = cfg.with_(shadow_dim=256, shadow_tile_h=16)
+    zd = raster_pallas.rasterize_depth(st, cfg_d)
+    zx = raster_xla.rasterize_depth_xla(st.setup, cfg_d.shadow_dim)
+    np.testing.assert_allclose(np.asarray(zd)[:128], np.asarray(zx)[:128],
+                               atol=1e-6)
+
+
+def test_stream_occ_payload_and_order():
+    """bin_stream with zmin: per-tile runs are front-to-back and the
+    lane-2 payload carries a valid conservative bound + strip range."""
+    cfg = kani.RenderConfig(width=256, height=128)
+    st = _two_layer_setup()
+    C = st.setup.shape[0] // CHUNK_SIZE
+    bins = binning.bin_stream(st.bbox, cfg.tiles_x, cfg.tiles_y,
+                              cfg.tile_w, cfg.tile_h,
+                              cfg.max_tiles_per_chunk,
+                              cfg.max_chunks_per_tile,
+                              cfg.max_global_chunks,
+                              clipfree=st.clipfree, zmin=st.zmin)
+    hdr = np.asarray(bins.header)
+    stream = np.asarray(bins.stream)
+    cpad = binning.stream_cpad_for(C)
+    zmin = np.asarray(st.zmin)
+    bbox = np.asarray(st.bbox)
+    czmin = zmin.reshape(C, CHUNK_SIZE).min(1)
+    cy0 = bbox[:, 1].reshape(C, CHUNK_SIZE).min(1)
+    cy1 = bbox[:, 3].reshape(C, CHUNK_SIZE).max(1)
+    srows = binning.occ_strip_rows(cfg.tile_h)
+    nstrips = binning.occ_nstrips(cfg.tile_h)
+    flat_e = stream[:, 0].reshape(-1)
+    flat_p = stream[:, 2].reshape(-1)
+    checked_runs = 0
+    for t in range(cfg.tiles_x * cfg.tiles_y):
+        off = hdr[0, t] * 128 + hdr[1, t]
+        prev_q = None
+        for s in range(hdr[2, t]):
+            e = flat_e[off + s]
+            p = flat_p[off + s]
+            cid0 = (e // 32) % cpad
+            ln = e % 16
+            assert (e // 32) // cpad == t
+            q = p // 256
+            s0, s1 = (p // 16) % 16, p % 16
+            assert 0 <= s0 <= s1 < nstrips
+            zbound = 1.0 - q * 2.0 ** -binning.OCC_QBITS
+            members = range(cid0, cid0 + ln)
+            assert zbound <= czmin[list(members)].min() + 1e-6
+            # strip range covers the members' rows inside this tile
+            ty0 = (t // cfg.tiles_x) * cfg.tile_h
+            lo = max(min(cy0[c] for c in members) - ty0, 0)
+            hi = min(max(cy1[c] for c in members) - 1 - ty0,
+                     cfg.tile_h - 1)
+            if lo <= hi:
+                assert s0 <= lo // srows and s1 >= hi // srows
+            # front-to-back: coarse z rank non-decreasing
+            zrank = min((2 ** binning.OCC_QBITS - q)
+                        >> binning.OCC_SORT_SHIFT, 8191)
+            if prev_q is not None:
+                assert zrank >= prev_q
+            prev_q = zrank
+            checked_runs += 1
+    assert checked_runs > 20  # the scene must actually exercise this

@@ -238,3 +238,101 @@ def test_profile_trace_written(tmp_path):
             verbose=False, profile_dir=str(d))
     found = [f for _, _, fs in os.walk(d) for f in fs]
     assert found, "no profiler trace files written"
+
+
+def test_render_frame_view_wh_matches_exact_size():
+    """Resize-without-recompile framing: rendering into a padded target
+    with the view size traced (view_wh) then cropping equals rendering at
+    the exact size (VERDICT r3 item 7)."""
+    from kanirenderer_tpu.passes.frame import render_frame
+
+    state = kani.frame_state(SCENE, kani.default_camera(),
+                             kani.default_lights())
+    cfg_exact = kani.RenderConfig(width=100, height=70, shadow_dim=64,
+                                  mode=kani.RenderMode.LIT)
+    cfg_pad = cfg_exact.with_(width=256, height=128)
+    out_e = render_frame(SCENE, state, cfg_exact)
+    out_p = render_frame(SCENE, state, cfg_pad,
+                         view_wh=jnp.asarray([100.0, 70.0], jnp.float32))
+    np.testing.assert_allclose(np.asarray(out_p.image)[:70, :100],
+                               np.asarray(out_e.image), atol=2e-6)
+
+
+def test_loop_resize_bucketing_reuses_executables():
+    """Drag-resize: several view sizes inside one ladder bucket share ONE
+    padded executable (the view size is traced, not static), and each
+    presented frame is cropped to its exact view."""
+    from kanirenderer_tpu.passes import frame as frame_mod
+
+    shapes = []
+
+    class Cap:
+        def present(self, f):
+            shapes.append(f.shape)
+
+        def close(self):
+            pass
+
+    cfg = kani.RenderConfig(width=64, height=48, shadow_dim=64,
+                            mode=kani.RenderMode.LIT)
+    events = [
+        Events(),                    # 64x48 (initial, unpadded)
+        Events(resize=(100, 70)),    # -> bucket 256x256: one compile
+        Events(resize=(120, 90)),    # same bucket: reuse
+        Events(resize=(200, 150)),   # same bucket: reuse
+    ]
+    try:
+        base = frame_mod.render_frame._cache_size()
+    except AttributeError:
+        base = None
+    stats = run_loop(SCENE, events, config=cfg, sink=Cap())
+    assert stats["frames"] == 4
+    assert stats["view_size"] == (200, 150)
+    assert stats["render_size"] == (256, 256)
+    assert shapes == [(48, 64, 3), (70, 100, 3), (90, 120, 3),
+                      (150, 200, 3)]
+    if base is not None:
+        # At most 2 new frame executables (initial size + ONE bucket;
+        # earlier tests may have pre-warmed the initial one): the three
+        # distinct view sizes share the bucket executable — the claim
+        # under test.
+        assert frame_mod.render_frame._cache_size() - base <= 2
+
+
+def test_loop_self_heals_after_frame_failure(monkeypatch):
+    """Device-loss recovery (reference SurfaceError::Lost -> resize,
+    src/lib.rs:2153-2157): an injected frame failure triggers a device
+    state rebuild and the loop continues."""
+    from kanirenderer_tpu.runtime import loop as loop_mod
+
+    real = loop_mod.render_frame
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("INVALID_ARGUMENT: injected device loss")
+        return real(*a, **k)
+
+    monkeypatch.setattr(loop_mod, "render_frame", flaky)
+    cfg = kani.RenderConfig(width=48, height=32, shadow_dim=64,
+                            mode=kani.RenderMode.LIT)
+    stats = run_loop(SCENE, [Events()] * 4, config=cfg, sink_kind="null")
+    assert stats["healed"] == 1
+    assert stats["frames"] == 3  # the failed frame is dropped, not fatal
+
+
+def test_loop_gives_up_after_persistent_failure(monkeypatch):
+    """The OutOfMemory -> exit analog (src/lib.rs:2156): persistent
+    failures re-raise instead of looping forever."""
+    import pytest
+    from kanirenderer_tpu.runtime import loop as loop_mod
+
+    def dead(*a, **k):
+        raise RuntimeError("INVALID_ARGUMENT: injected permanent loss")
+
+    monkeypatch.setattr(loop_mod, "render_frame", dead)
+    cfg = kani.RenderConfig(width=48, height=32, shadow_dim=64,
+                            mode=kani.RenderMode.LIT)
+    with pytest.raises(RuntimeError, match="permanent loss"):
+        run_loop(SCENE, [Events()] * 10, config=cfg, sink_kind="null")

@@ -107,7 +107,7 @@ def main() -> None:
         raster_backend="pallas" if on_tpu else "xla",
         tile_h=int(os.environ.get("KANI_TILE_H", 32)),
         tile_w=int(os.environ.get("KANI_TILE_W", 128)),
-        shadow_tile_h=int(os.environ.get("KANI_SHADOW_TILE_H", 16)),
+        shadow_tile_h=int(os.environ.get("KANI_SHADOW_TILE_H", 32)),
         # S=32/G=128 re-swept under stream binning: chunk tile-spans are
         # tiny (p50 3, p90 15), so a small expansion + a global block a
         # quarter the size cuts the binning sort keys 4x — 25.97 -> 26.64

@@ -94,6 +94,7 @@ def run(file_path: str = "", file_type: str = "opengl",
         # stay sized for small CPU-test frames).  KANI_TILE_H overrides.
         cfg = cfg.with_(
             tile_h=int(os.environ.get("KANI_TILE_H", 32)),
+            shadow_tile_h=int(os.environ.get("KANI_SHADOW_TILE_H", 32)),
             max_tiles_per_chunk=32, max_chunks_per_tile=512,
             max_global_chunks=128)
     # Remote-attached hosts (the axon tunnel): the device→host present

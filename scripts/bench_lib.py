@@ -24,7 +24,7 @@ def _setup(frames=30):
         raster_backend="pallas",
         tile_h=int(os.environ.get("KANI_TILE_H", 32)),
         tile_w=int(os.environ.get("KANI_TILE_W", 128)),
-        shadow_tile_h=int(os.environ.get("KANI_SHADOW_TILE_H", 16)),
+        shadow_tile_h=int(os.environ.get("KANI_SHADOW_TILE_H", 32)),
         max_tiles_per_chunk=32, max_chunks_per_tile=512,
         max_global_chunks=128, output_u8=True)
     inputs = CameraInputs(forward=1.0, rotate_dx=6.0)

@@ -232,3 +232,30 @@ def test_fresh_shadow_geom_cache_matches_inframe():
                                   np.asarray(base.image))
     np.testing.assert_array_equal(np.asarray(cached.shadow),
                                   np.asarray(base.shadow))
+
+
+def test_present_scale_downsamples_surface_only():
+    """RenderConfig.present_scale: the emitted surface is box-downsampled
+    on device; render resolution (depth, picking) stays full."""
+    import numpy as np
+    import jax.numpy as jnp
+    import kanirenderer_tpu as kani
+    from kanirenderer_tpu.models.procedural import cube_scene
+    from kanirenderer_tpu.passes.frame import render_frame
+
+    scene = cube_scene()
+    cam = kani.CameraState(
+        position=jnp.asarray([60.0, 45.0, 80.0], jnp.float32),
+        yaw=jnp.float32(np.deg2rad(-127.0)),
+        pitch=jnp.float32(np.deg2rad(-20.0)))
+    state = kani.frame_state(scene, cam, kani.default_lights())
+    cfg = kani.RenderConfig(width=128, height=96, mode=kani.RenderMode.LIT,
+                            output_u8=True)
+    full = np.asarray(render_frame(scene, state, cfg).image)
+    out2 = render_frame(scene, state, cfg.with_(present_scale=2))
+    half = np.asarray(out2.image)
+    assert half.shape == (48, 64, 3) and half.dtype == np.uint8
+    assert out2.depth.shape == (96, 128)
+    ref = full.astype(np.float32).reshape(48, 2, 64, 2, 3).mean((1, 3))
+    # u8 quantization commutes within rounding of the box average
+    assert np.abs(ref - half.astype(np.float32)).max() <= 1.0

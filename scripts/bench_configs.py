@@ -15,7 +15,7 @@ first heavyweight executable reliably — docs/PERFORMANCE.md rules):
 
     python scripts/bench_configs.py cube_unlit|cube_lit|sponza_lit|sponza_deferred
 
-Each run merges its result into tests/artifacts/bench_configs_r3.json.
+Each run merges its result into tests/artifacts/bench_configs_r4.json.
 """
 
 import json
@@ -28,7 +28,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "..", "tests", "artifacts", "bench_configs_r3.json")
+                        "..", "tests", "artifacts", "bench_configs_r4.json")
 
 
 def main(name: str) -> None:

@@ -97,3 +97,65 @@ def test_native_obj_parser_fuzz():
                 native.obj_parse(text)
             except Exception:
                 pass
+
+
+def test_occlusion_degenerate_scenes():
+    """Occlusion-culling edge cases: empty frustum (all triangles behind),
+    all-invalid chunks, single-run tiles — no crash, correct output."""
+    import jax.numpy as jnp
+    import kanirenderer_tpu as kani
+    from kanirenderer_tpu.core.types import CHUNK_SIZE
+    from kanirenderer_tpu.ops import raster_pallas, raster_xla
+    from kanirenderer_tpu.ops.vertex import triangle_setup
+
+    cfg = kani.RenderConfig(width=128, height=64)
+
+    def run_case(clip, tris, valid):
+        pad = (-len(tris)) % CHUNK_SIZE
+        tris = list(tris) + [(0, 0, 0)] * pad
+        valid = list(valid) + [False] * pad
+        st = triangle_setup(jnp.asarray(clip, jnp.float32),
+                            jnp.asarray(tris, jnp.int32),
+                            jnp.asarray(valid), cfg.width, cfg.height,
+                            cull_backfaces=False)
+        vp = raster_pallas.rasterize(st, cfg)
+        vx = raster_xla.rasterize_xla(st.setup, cfg.width, cfg.height)
+        np.testing.assert_allclose(np.asarray(vp.z), np.asarray(vx.z),
+                                   atol=1e-6)
+
+    # all behind the eye plane (w < 0): nothing rasterizes
+    run_case([(0.0, 0.0, 0.5, -1.0)] * 3, [(0, 1, 2)], [True])
+    # all invalid
+    run_case([(0.0, 0.0, 0.5, 1.0)] * 3, [(0, 1, 2)], [False])
+    # one tiny triangle (single run, single subbatch)
+    run_case([(-0.1, -0.1, 0.5, 1.0), (0.1, -0.1, 0.5, 1.0),
+              (0.0, 0.1, 0.5, 1.0)], [(0, 1, 2)], [True])
+
+
+def test_resize_fuzz_never_crashes():
+    """Random drag-resize sequences (incl. tiny and large sizes) through
+    the real loop: every frame presents at the exact view size."""
+    import kanirenderer_tpu as kani
+    from kanirenderer_tpu.models.procedural import cube_scene
+    from kanirenderer_tpu.runtime.loop import Events, run_loop
+
+    rng = np.random.RandomState(5)
+    shapes = []
+
+    class Cap:
+        def present(self, f):
+            shapes.append(f.shape)
+
+        def close(self):
+            pass
+
+    sizes = [(int(rng.randint(1, 300)), int(rng.randint(1, 300)))
+             for _ in range(4)]
+    events = [Events()] + [Events(resize=s) for s in sizes]
+    cfg = kani.RenderConfig(width=64, height=48, shadow_dim=64,
+                            mode=kani.RenderMode.LIT)
+    stats = run_loop(cube_scene(), events, config=cfg, sink=Cap())
+    assert stats["frames"] == len(events)
+    assert stats["healed"] == 0
+    want = [(48, 64, 3)] + [(h, w, 3) for (w, h) in sizes]
+    assert shapes == want

@@ -57,7 +57,7 @@ def run(file_path: str = "", file_type: str = "opengl",
         frames: int = 60, sink: str = "png", out: str | None = None,
         events=None, raster_backend: str | None = None,
         verbose: bool = True, profile_dir: str | None = None,
-        point_lights: int = 1) -> dict:
+        point_lights: int = 1, render_scale: int = 1) -> dict:
     """Load + render loop (reference run(), src/lib.rs:2054-2168).
 
     Defaults match the reference: 1440×1080 window (src/lib.rs:2056),
@@ -71,6 +71,13 @@ def run(file_path: str = "", file_type: str = "opengl",
     """
     width = int(os.environ.get("KANI_WIDTH", width))
     height = int(os.environ.get("KANI_HEIGHT", height))
+    # Performance mode: render at 1/s resolution (one-chip interactivity
+    # ladder, measured: 1080p lit+shadow 26.6 steady / 22.9 fresh FPS;
+    # 960×540 58.4 / 43.1 — docs/PERFORMANCE.md roofline).
+    render_scale = int(os.environ.get("KANI_RENDER_SCALE", render_scale))
+    if render_scale > 1:
+        width //= render_scale
+        height //= render_scale
     frames = int(os.environ.get("KANI_FRAMES", frames))
     sink = os.environ.get("KANI_SINK", sink)
     out = os.environ.get("KANI_OUT", out)

@@ -53,6 +53,9 @@ def main(argv=None) -> int:
                          "N>=50 adds green+blue sets)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
+    ap.add_argument("--render-scale", type=int, default=1, metavar="S",
+                    help="performance mode: render at 1/S resolution "
+                         "(one v5e: 1080p lit+shadow 26.6 FPS, S=2 58.4)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -64,7 +67,8 @@ def main(argv=None) -> int:
             mode=RenderMode[args.mode.upper()], frames=args.frames,
             sink=args.sink, out=args.out, raster_backend=args.backend,
             verbose=not args.quiet, profile_dir=args.profile,
-            point_lights=args.point_lights)
+            point_lights=args.point_lights,
+            render_scale=args.render_scale)
     return 0
 
 

@@ -404,9 +404,16 @@ OCC_QBITS = 22
 OCC_SORT_SHIFT = 9   # front-to-back sort uses qz >> 9 (13-bit rank)
 
 
+_OCC_STRIP_ENV = int(_os.environ.get("KANI_OCC_STRIP", "0"))
+
+
 def occ_strip_rows(tile_h: int) -> int:
     """Rows per occlusion strip: 4 for tile_h ≤ 64, scaled so the strip
-    count fits the 4-bit payload field beyond that."""
+    count fits the 4-bit payload field beyond that.  KANI_OCC_STRIP
+    overrides for sweeps (must divide tile_h; stream_has_occ guards the
+    16-strip payload limit)."""
+    if _OCC_STRIP_ENV:
+        return _OCC_STRIP_ENV
     return 4 * (-(-tile_h // 64))
 
 

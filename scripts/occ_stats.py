@@ -160,8 +160,8 @@ def main():
     lights = kani.default_lights()
     cfg = kani.RenderConfig(
         width=1920, height=1080, mode=kani.RenderMode.LIT_SHADOW,
-        tile_h=32,   # the bench/TPU tile shape (RenderConfig defaults
-        #              are sized for small CPU-test frames)
+        tile_h=32, shadow_tile_h=32,  # the bench/TPU tile shapes
+        #              (RenderConfig defaults are CPU-test-sized)
         max_tiles_per_chunk=32, max_chunks_per_tile=512,
         max_global_chunks=128)
 

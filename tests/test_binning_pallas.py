@@ -487,3 +487,43 @@ def test_stream_occ_payload_and_order():
             prev_q = zrank
             checked_runs += 1
     assert checked_runs > 20  # the scene must actually exercise this
+
+
+def test_fused_kernel_occlusion_forced_on_matches_oracle(monkeypatch):
+    """The FUSED (production) kernel with occlusion forced on both grids:
+    issue-time skips + phase-2 winner resolution must still match the
+    oracle (the hardware twin of this test is
+    tests/artifacts/onchip_parity_r4.json)."""
+    monkeypatch.setattr(raster_pallas, "OCC_MODE", "1")
+    monkeypatch.setattr(raster_pallas, "OCC", True)
+    from kanirenderer_tpu.ops.interpolate import build_tri_records
+
+    cfg = kani.RenderConfig(width=256, height=224)  # unique: trace under patch
+    st = _two_layer_setup(height=224)
+    assert raster_pallas._occ_on(cfg.tiles_x * cfg.tiles_y, cfg.tile_h,
+                                 st.zmin)
+    T = st.setup.shape[0]
+    vary = jnp.asarray(
+        np.linspace(0, 1, T * 24, dtype=np.float32).reshape(T, 24))
+    # tri_idx only feeds varying gathers here; self-indexed rows keep the
+    # varyings distinct per triangle so phase-2 LUT errors are visible.
+    tri_idx = jnp.tile(jnp.arange(T, dtype=jnp.int32)[:, None], (1, 3))
+    rec = build_tri_records(tri_idx, jnp.zeros(T, jnp.int32), vary,
+                            jnp.zeros(1, jnp.int32), jnp.ones(1, jnp.int32),
+                            jnp.ones((1, 2), jnp.int32), setup=st.setup)
+    pix = raster_pallas.rasterize_pixels(st, rec, cfg)
+    vx = raster_xla.rasterize_xla(st.setup, cfg.width, cfg.height)
+    # Depth must match everywhere (occlusion-relevant quantity).
+    np.testing.assert_allclose(np.asarray(pix.z), np.asarray(vx.z),
+                               atol=1e-6)
+    # Everywhere coverage agrees, phase-2's interpolated varying lane 0
+    # must equal the oracle winner's record value (constant per triangle
+    # here, so ties on shared edges of the constant-z grids are the only
+    # allowed mismatches — bounded below).
+    both = np.asarray(pix.mask) & (np.asarray(vx.tri) >= 0)
+    v0 = np.asarray(pix.varyings)[0]
+    w = np.asarray(vx.tri)
+    vary_np = np.asarray(vary)
+    exp0 = vary_np[np.clip(w, 0, T - 1), 0]
+    winner_same = both & (np.abs(v0 - exp0) < 1e-4)
+    assert winner_same.sum() > 0.95 * both.sum()

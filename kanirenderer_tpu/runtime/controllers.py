@@ -132,3 +132,113 @@ def step_directional_distance(d: DirectionalLight,
     dist = jnp.clip(d.distance + delta, -3000.0, -100.0)
     return d._replace(distance=dist,
                       shadow_scene_size=jnp.abs(dist) * 1.5)
+
+
+# ---- pure-numpy host twins ----
+#
+# The reference's controllers are host code (src/lib.rs:1382-1705); a
+# jitted scalar update is architecturally wrong for the interactive loop
+# on remote-attached runtimes, where EVERY jax dispatch-or-fetch — even
+# on the CPU backend of a TPU-registered process — measures 10-80 ms
+# (job r4/040: update_camera+fetch 77 ms/call).  These numpy twins are
+# ~µs and feed the frame executable directly; equivalence with the
+# jitted versions above is pinned by
+# tests/test_runtime.py::test_host_controller_twins.  All math in f32 to
+# match the jax versions' rounding.
+
+import numpy as _np
+
+
+def _f32(x):
+    return _np.float32(x)
+
+
+def update_camera_host(cam: CameraState, inp: CameraInputs, dt: float,
+                       speed: float = CAMERA_SPEED,
+                       sensitivity: float = CAMERA_SENSITIVITY
+                       ) -> CameraState:
+    dt = _f32(dt)
+    speed = _f32(speed)
+    sensitivity = _f32(sensitivity)
+    yaw = _f32(cam.yaw)
+    pitch = _f32(cam.pitch)
+    yaw_sin, yaw_cos = _np.sin(yaw), _np.cos(yaw)
+    forward = _np.array([yaw_cos, 0.0, yaw_sin], _np.float32)
+    right = _np.array([-yaw_sin, 0.0, yaw_cos], _np.float32)
+    pos = _np.asarray(cam.position, _np.float32).copy()
+    pos += forward * (_f32(inp.forward) - _f32(inp.backward)) * speed * dt
+    pos += right * (_f32(inp.right) - _f32(inp.left)) * speed * dt
+
+    pitch_sin, pitch_cos = _np.sin(pitch), _np.cos(pitch)
+    sv = _np.array([pitch_cos * yaw_cos, pitch_sin, pitch_cos * yaw_sin],
+                   _np.float32)
+    sv = sv / _np.linalg.norm(sv).astype(_np.float32)
+    pos += sv.astype(_np.float32) * _f32(inp.scroll) * speed \
+        * sensitivity * dt
+    pos[1] += (_f32(inp.up) - _f32(inp.down)) * speed * dt
+
+    yaw = yaw + _f32(inp.rotate_dx) * sensitivity * dt
+    pitch = pitch + (-_f32(inp.rotate_dy)) * sensitivity * dt
+    pitch = _np.clip(pitch, _f32(-SAFE_PITCH), _f32(SAFE_PITCH))
+    return CameraState(position=pos.astype(_np.float32),
+                       yaw=_f32(yaw), pitch=_f32(pitch))
+
+
+def update_movable_light_host(light: MovableLight, inp: LightInputs,
+                              dt: float,
+                              speed: float = LIGHT_SPEED) -> MovableLight:
+    dt = _f32(dt)
+    speed = _f32(speed)
+    yaw = _f32(light.yaw)
+    yaw_sin, yaw_cos = _np.sin(yaw), _np.cos(yaw)
+    forward = _np.array([yaw_cos, 0.0, yaw_sin], _np.float32)
+    right = _np.array([-yaw_sin, 0.0, yaw_cos], _np.float32)
+    pos = _np.asarray(light.position, _np.float32).copy()
+    pos += forward * (_f32(inp.forward) - _f32(inp.backward)) * speed * dt
+    pos += right * (_f32(inp.right) - _f32(inp.left)) * speed * dt
+    pos[1] += (_f32(inp.up) - _f32(inp.down)) * speed * dt
+
+    rng = _f32(light.range)
+    if inp.d_range > 0 and rng > 32.0:
+        rng = rng + _f32(5.0)
+    if inp.d_range < 0 and rng < 12800.0:
+        rng = rng - _f32(5.0)
+    col = _np.asarray(light.color, _np.float32).copy()
+    if inp.d_color < 0 and col[0] > 1e-5:
+        col = col - _f32(5.0)
+    if inp.d_color > 0 and col[0] < 10000.0:
+        col = col + _f32(5.0)
+    return MovableLight(position=pos.astype(_np.float32),
+                        color=col.astype(_np.float32), range=rng,
+                        yaw=yaw)
+
+
+def _rot_mats_host(deg_x, deg_y, deg_z):
+    out = []
+    for deg, axes in ((deg_x, (1, 2)), (deg_y, (2, 0)), (deg_z, (0, 1))):
+        a = _np.deg2rad(_f32(deg)).astype(_np.float32)
+        c, s = _np.cos(a), _np.sin(a)
+        m = _np.eye(3, dtype=_np.float32)
+        i, j = axes
+        m[i, i] = c
+        m[i, j] = -s
+        m[j, i] = s
+        m[j, j] = c
+        out.append(m)
+    return out  # [Rx, Ry, Rz]
+
+
+def rotate_directional_light_host(d: DirectionalLight, deg_x: float,
+                                  deg_y: float, deg_z: float
+                                  ) -> DirectionalLight:
+    rx, ry, rz = _rot_mats_host(deg_x, deg_y, deg_z)
+    new_dir = (rz @ ry @ rx) @ _np.asarray(d.direction, _np.float32)
+    return d._replace(direction=new_dir.astype(_np.float32))
+
+
+def step_directional_distance_host(d: DirectionalLight,
+                                   delta: float) -> DirectionalLight:
+    dist = _np.clip(_f32(d.distance) + _f32(delta), -3000.0, -100.0) \
+        .astype(_np.float32)
+    return d._replace(distance=dist,
+                      shadow_scene_size=_np.abs(dist) * _f32(1.5))

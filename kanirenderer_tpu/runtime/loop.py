@@ -20,7 +20,6 @@ mirroring the reference's prebuilt-pipeline switch.
 
 from __future__ import annotations
 
-import contextlib
 import dataclasses
 import time
 from typing import Iterable, NamedTuple
@@ -183,16 +182,6 @@ def run_loop(scene: Scene, events: Iterable[Events],
     shadow_prev_key = None
     shadow_ones = None
     warned_overflow = 0
-    # Controllers are a handful of scalar ops; running their jitted step
-    # on an accelerator turns each into a host↔device round trip (~2-30 ms
-    # of pure dispatch latency per frame on remote runtimes).  The
-    # reference's State::update is host code (src/lib.rs:1382-1705), so
-    # run them on the CPU backend and hand the (tiny, uncommitted) numpy
-    # results to the frame executable.
-    try:
-        cpu_dev = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu_dev = None
 
     def _host(tree):
         return jax.tree.map(np.asarray, tree)
@@ -284,28 +273,30 @@ def run_loop(scene: Scene, events: Iterable[Events],
                 sink.set_fullscreen(app.fullscreen)
         if "1" in p:
             app.toggle_debug_texture()
-        dev_ctx = jax.default_device(cpu_dev) if cpu_dev is not None \
-            else contextlib.nullcontext()
-        with dev_ctx:
-            d = app.lights.directional
-            if "2" in p:
-                d = controllers.step_directional_distance(d, -10.0)
-            if "3" in p:
-                d = controllers.step_directional_distance(d, +10.0)
-            if "r" in ev.held:
-                d = controllers.rotate_directional_light(d, 4.0, 0.0, 0.0)
-            if "t" in ev.held:
-                d = controllers.rotate_directional_light(d, 0.0, 4.0, 0.0)
-            if "y" in ev.held:
-                d = controllers.rotate_directional_light(d, 0.0, 0.0, 4.0)
+        # Controllers run as PURE NUMPY host math (the *_host twins): the
+        # reference's State::update is host code (src/lib.rs:1382-1705),
+        # and on remote-attached runtimes every jax dispatch/fetch — even
+        # CPU-backend in a TPU-registered process — costs 10-80 ms
+        # (docs/PERFORMANCE.md, job r4/040).
+        d = app.lights.directional
+        if "2" in p:
+            d = controllers.step_directional_distance_host(d, -10.0)
+        if "3" in p:
+            d = controllers.step_directional_distance_host(d, +10.0)
+        if "r" in ev.held:
+            d = controllers.rotate_directional_light_host(d, 4.0, 0.0, 0.0)
+        if "t" in ev.held:
+            d = controllers.rotate_directional_light_host(d, 0.0, 4.0, 0.0)
+        if "y" in ev.held:
+            d = controllers.rotate_directional_light_host(d, 0.0, 0.0, 4.0)
 
-            # --- controller integration (State::update) ---
-            app.camera = _host(controllers.update_camera(
-                app.camera, _camera_inputs(ev), dt))
-            movable = _host(controllers.update_movable_light(
-                app.lights.movable, _light_inputs(ev), dt))
-            app.lights = app.lights._replace(movable=movable,
-                                             directional=_host(d))
+        # --- controller integration (State::update) ---
+        app.camera = controllers.update_camera_host(
+            app.camera, _camera_inputs(ev), dt)
+        app.lights = app.lights._replace(
+            movable=controllers.update_movable_light_host(
+                app.lights.movable, _light_inputs(ev), dt),
+            directional=_host(d))
 
         # --- render ---
         graph.update(dt)

@@ -336,3 +336,53 @@ def test_loop_gives_up_after_persistent_failure(monkeypatch):
                             mode=kani.RenderMode.LIT)
     with pytest.raises(RuntimeError, match="permanent loss"):
         run_loop(SCENE, [Events()] * 10, config=cfg, sink_kind="null")
+
+
+def test_host_controller_twins_match_jitted():
+    """The pure-numpy *_host controller twins (used by the interactive
+    loop — a jax dispatch costs 10-80 ms/frame on remote runtimes) must
+    match the jitted versions bit-for-bit-ish in f32."""
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        cam = kani.CameraState(
+            position=jnp.asarray(rng.randn(3) * 100, jnp.float32),
+            yaw=jnp.float32(rng.uniform(-3, 3)),
+            pitch=jnp.float32(rng.uniform(-1.4, 1.4)))
+        inp = controllers.CameraInputs(
+            *[float(x) for x in rng.randint(0, 2, 6)],
+            rotate_dx=float(rng.randn() * 5),
+            rotate_dy=float(rng.randn() * 5),
+            scroll=float(rng.randn()))
+        dt = float(rng.uniform(0.001, 0.1))
+        a = controllers.update_camera(cam, inp, dt)
+        b = controllers.update_camera_host(cam, inp, dt)
+        np.testing.assert_allclose(np.asarray(a.position), b.position,
+                                   rtol=1e-6, atol=1e-4)
+        np.testing.assert_allclose(float(a.yaw), b.yaw, atol=1e-6)
+        np.testing.assert_allclose(float(a.pitch), b.pitch, atol=1e-6)
+
+        lights = kani.default_lights()
+        li = controllers.LightInputs(
+            *[float(x) for x in rng.randint(0, 2, 6)],
+            d_range=float(rng.randint(-1, 2)),
+            d_color=float(rng.randint(-1, 2)))
+        a = controllers.update_movable_light(lights.movable, li, dt)
+        b = controllers.update_movable_light_host(lights.movable, li, dt)
+        np.testing.assert_allclose(np.asarray(a.position), b.position,
+                                   rtol=1e-6, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.color), b.color, atol=1e-5)
+        np.testing.assert_allclose(float(a.range), b.range, atol=1e-5)
+
+        d = lights.directional
+        dx, dy, dz = rng.uniform(-30, 30, 3)
+        a = controllers.rotate_directional_light(d, dx, dy, dz)
+        b = controllers.rotate_directional_light_host(d, dx, dy, dz)
+        np.testing.assert_allclose(np.asarray(a.direction), b.direction,
+                                   atol=1e-6)
+        a = controllers.step_directional_distance(d, float(rng.choice([-10, 10])))
+        # step twin takes the same delta
+        delta = float(np.asarray(a.distance) - np.asarray(d.distance))
+        b = controllers.step_directional_distance_host(d, delta)
+        np.testing.assert_allclose(float(a.distance), b.distance, atol=1e-5)
+        np.testing.assert_allclose(float(a.shadow_scene_size),
+                                   b.shadow_scene_size, atol=1e-4)

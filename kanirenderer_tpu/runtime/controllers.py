@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from kanirenderer_tpu.core import math3d
 from kanirenderer_tpu.core.types import (CameraState, DirectionalLight,
@@ -145,9 +146,6 @@ def step_directional_distance(d: DirectionalLight,
 # jitted versions above is pinned by
 # tests/test_runtime.py::test_host_controller_twins.  All math in f32 to
 # match the jax versions' rounding.
-
-import numpy as _np
-
 
 def _f32(x):
     return _np.float32(x)

@@ -213,9 +213,17 @@ class InteractiveWindow:
             self.set_fullscreen(True)
 
     # --- sink interface ---
-    def present(self, frame) -> None:
+    # Scaling sink (see runtime/display.WindowSink): the loop hands the
+    # present-path preview at NATIVE resolution + the view size; one PIL
+    # nearest resize replaces the ~25 ms double np.repeat host upscale.
+    scales_preview = True
+
+    def present(self, frame, view: tuple | None = None) -> None:
         tkinter, root, label, Image, ImageTk = self._tk
-        photo = ImageTk.PhotoImage(Image.fromarray(frame))
+        img = Image.fromarray(frame)
+        if view is not None and (img.width, img.height) != tuple(view):
+            img = img.resize(tuple(view), Image.NEAREST)
+        photo = ImageTk.PhotoImage(img)
         label.configure(image=photo)
         label.image = photo
         root.update()

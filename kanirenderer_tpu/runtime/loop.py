@@ -186,15 +186,31 @@ def run_loop(scene: Scene, events: Iterable[Events],
     def _host(tree):
         return jax.tree.map(np.asarray, tree)
 
-    def _present_frame(out, view, scale):
-        """Fetch + finish one frame: upscale the device-downsampled
-        preview (RenderConfig.present_scale) and crop to the view."""
+    # Scaling sinks (WindowSink / InteractiveWindow / null) take the
+    # device-downsampled preview at NATIVE resolution plus the target
+    # view size and zoom it themselves (PIL nearest, C speed) — the
+    # host-side double np.repeat upscale (~25 ms/frame at 1080p, job
+    # r4/043) survives only as the fallback for frame-capturing sinks
+    # (PNG/GIF and test capture sinks expect full-size pixel buffers).
+    sink_scales = bool(getattr(sink, "scales_preview", False))
+
+    def _present(out, view, scale):
+        """Fetch + finish + hand one frame to the sink."""
         img = np.asarray(to_uint8(out.image))
         if scale > 1:
+            if sink_scales:
+                # Crop the PREVIEW to the view's footprint; the sink
+                # resizes to the exact view size.
+                pv = (-(-view[0] // scale), -(-view[1] // scale)) \
+                    if view is not None else None
+                if pv is not None and (img.shape[1], img.shape[0]) != pv:
+                    img = img[:pv[1], :pv[0]]
+                sink.present(img, view=view)
+                return
             img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
         if view is not None and (img.shape[1], img.shape[0]) != view:
             img = img[:view[1], :view[0]]
-        return img
+        sink.present(img)
 
     # Swapchain-style double buffering: the frame dispatched on iteration
     # N is presented on iteration N+1 (one frame of latency, like any
@@ -358,8 +374,7 @@ def run_loop(scene: Scene, events: Iterable[Events],
             # Present the PREVIOUS frame (double buffering, see above): its
             # transfer overlaps the dispatch we just issued.
             if pending is not None:
-                sink.present(_present_frame(pending, pending_view,
-                                            pending_scale))
+                _present(pending, pending_view, pending_scale)
                 # Binning capacity overruns must not silently drop geometry
                 # (ops/binning.TileBins.overflow): warn when the count
                 # changes.  Checked every 8th frame — each scalar fetch is
@@ -419,7 +434,7 @@ def run_loop(scene: Scene, events: Iterable[Events],
                   f"({graph.fps:.1f} FPS) mode={app.config.mode.name}")
 
     if pending is not None:  # flush the last double-buffered frame
-        sink.present(_present_frame(pending, pending_view, pending_scale))
+        _present(pending, pending_view, pending_scale)
         ov = int(np.asarray(pending.raster_overflow))
         if ov > 0 and ov != warned_overflow:
             log.warn("raster binning dropped %d chunk entries — raise "

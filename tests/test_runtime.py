@@ -386,3 +386,54 @@ def test_host_controller_twins_match_jitted():
         np.testing.assert_allclose(float(a.distance), b.distance, atol=1e-5)
         np.testing.assert_allclose(float(a.shadow_scene_size),
                                    b.shadow_scene_size, atol=1e-4)
+
+
+def test_present_preview_native_to_scaling_sink():
+    """present_scale + a scaling sink: the loop hands the preview at its
+    NATIVE (downsampled) resolution with the view size as the zoom hint —
+    no host-side np.repeat upscale (the r4 loop's ~25 ms/frame residual);
+    a legacy sink (no scales_preview) still receives full-size frames."""
+    calls = []
+
+    class Scaling:
+        scales_preview = True
+
+        def present(self, f, view=None):
+            calls.append((f.shape, view))
+
+        def close(self):
+            pass
+
+    cfg = kani.RenderConfig(width=64, height=48, shadow_dim=64,
+                            mode=kani.RenderMode.LIT, present_scale=2)
+    stats = run_loop(SCENE, [Events()] * 2, config=cfg, sink=Scaling())
+    assert stats["frames"] == 2
+    # preview surface is (H/2, W/2); view hint is the full view size
+    assert calls == [((24, 32, 3), (64, 48))] * 2
+
+    legacy = []
+
+    class Legacy:
+        def present(self, f):
+            legacy.append(f.shape)
+
+        def close(self):
+            pass
+
+    run_loop(SCENE, [Events()] * 2, config=cfg, sink=Legacy())
+    assert legacy == [(48, 64, 3)] * 2
+
+
+def test_window_sink_scales_preview_to_view():
+    """WindowSink's PNG fallback path upscales the native preview to the
+    exact view size (nearest), matching the np.repeat legacy output for
+    integer-multiple views."""
+    from kanirenderer_tpu.runtime import display
+
+    small = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    up = display._scale_to_view(small, (12, 8))
+    assert up.shape == (8, 12, 3)
+    ref = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+    np.testing.assert_array_equal(up, ref)
+    # non-multiple view still lands exactly on the requested size
+    assert display._scale_to_view(small, (13, 9)).shape == (9, 13, 3)

@@ -136,6 +136,8 @@ def main() -> None:
         cams.append(update_camera(cams[-1], inputs, 1.0 / 60.0))
     states = [kani.frame_state(scene, c, lights) for c in cams[1:]]
 
+    last_out = [None]  # kept for the post-bench utilization accounting
+
     def flythrough(n, shadow=None, table=None, geom=None):
         """n frames; one completion sync at the end — device execution is
         serial, so total wall time over n dispatches is true throughput.
@@ -150,6 +152,7 @@ def main() -> None:
                                 shadow_map=shadow, shadow_table=table,
                                 shadow_geom=geom)
         outs.image.block_until_ready()
+        last_out[0] = outs
         return time.perf_counter() - t0
 
     # Pinned protocol (round-3 reproducibility): fixed warmup, then FIVE
@@ -192,6 +195,27 @@ def main() -> None:
 
     fps = sorted(passes)[len(passes) // 2]  # median of 5
     tris = int(np.asarray(scene.tri_valid).sum())
+
+    # MFU-style utilization accounting (VERDICT r4 weak #6): per-frame
+    # work counts x the measured per-unit device floors vs the measured
+    # frame time — all outside the timed window (one depth fetch + a
+    # CPU-backend binning replay).  Cached steady state is the basis
+    # (the roofline's decomposition); the fresh-shadow delta is its own
+    # line since the 2048² shadow grid doesn't scale with screen pixels.
+    utilization = None
+    if not fresh:
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            import utilization as util_mod
+            depth = np.asarray(last_out[0].depth)
+            covered = int((depth < 1.0).sum())
+            evals, per_pose = util_mod.main_grid_evals(scene, states, cfg)
+            utilization = util_mod.utilization_block(
+                1000.0 / fps, evals, covered, None)
+            utilization["evals_per_pose"] = per_pose
+        except Exception as e:
+            utilization = {"error": f"{type(e).__name__}: {e}"}
     result = {
         "metric": "fps_1080p_sponza_standin_lit_shadow_v5e"
                   if on_tpu else "fps_1080p_sponza_standin_lit_shadow_cpu",
@@ -228,6 +252,11 @@ def main() -> None:
         result = dict(fresh_result)
         result["detail"] = dict(result.get("detail", {}))
         result["detail"]["steady_state_cached"] = cached_result
+        if utilization is not None and "frame_ms" in utilization:
+            utilization["fresh_shadow_extra_ms"] = round(
+                1000.0 / fresh_result["value"] - 1000.0 / fps, 2)
+    if utilization is not None:
+        result["detail"]["utilization"] = utilization
     print(json.dumps(result))
 
 

@@ -9,13 +9,18 @@ device→host transfer inside the timed window):
   2. cube lit 512x512          (Blinn-Phong + normal map + point light)
   3. sponza lit 1080p          (per-pixel lighting, no shadow)
   5. sponza deferred HDR 1080p (G-buffer + world-space deferred lighting)
+     — plus sponza_deferred_shadow (deferred + LIT_SHADOW + PCF, the full
+     BASELINE config-5 description: the fresh shadow map renders in-frame
+     like the reference, src/lib.rs:1721) and the one-time
+     sponza_debug / sponza_wireframe mode numbers.
 
 Run ONE config per process (the tunneled runtime only re-executes the
 first heavyweight executable reliably — docs/PERFORMANCE.md rules):
 
-    python scripts/bench_configs.py cube_unlit|cube_lit|sponza_lit|sponza_deferred
+    python scripts/bench_configs.py cube_unlit|cube_lit|sponza_lit|\
+sponza_deferred|sponza_deferred_shadow|sponza_debug|sponza_wireframe
 
-Each run merges its result into tests/artifacts/bench_configs_r4.json.
+Each run merges its result into tests/artifacts/bench_configs_r5.json.
 """
 
 import json
@@ -28,7 +33,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "..", "tests", "artifacts", "bench_configs_r4.json")
+                        "..", "tests", "artifacts", "bench_configs_r5.json")
 
 
 def main(name: str) -> None:
@@ -58,14 +63,18 @@ def main(name: str) -> None:
                 else kani.RenderMode.LIT)
         deferred, hdr, frames = False, False, 120
         inputs = CameraInputs(rotate_dx=6.0)
-    elif name in ("sponza_lit", "sponza_deferred"):
+    elif name in ("sponza_lit", "sponza_deferred", "sponza_deferred_shadow",
+                  "sponza_debug", "sponza_wireframe"):
         scene = sponza_standin_scene()
         cam0 = kani.CameraState(
             position=jnp.array([-1000.0, 180.0, 0.0], jnp.float32),
             yaw=jnp.float32(0.0), pitch=jnp.float32(np.deg2rad(-5.0)))
         width, height = 1920, 1080
-        mode = kani.RenderMode.LIT
-        deferred = name == "sponza_deferred"
+        mode = {"sponza_deferred_shadow": kani.RenderMode.LIT_SHADOW,
+                "sponza_debug": kani.RenderMode.DEBUG,
+                "sponza_wireframe": kani.RenderMode.WIREFRAME,
+                }.get(name, kani.RenderMode.LIT)
+        deferred = name in ("sponza_deferred", "sponza_deferred_shadow")
         hdr = deferred  # BASELINE config 5: deferred + HDR surface
         frames = 30
         inputs = CameraInputs(forward=1.0, rotate_dx=6.0)
@@ -105,7 +114,9 @@ def main(name: str) -> None:
         "detail": {
             "frames": frames, "triangles": tris,
             "resolution": f"{width}x{height}",
-            "mode": ("DEFERRED+HDR" if deferred else mode.name),
+            "mode": (f"DEFERRED+HDR {mode.name}" if deferred else mode.name)
+            + (" (fresh shadow in-frame + PCF)"
+               if mode.name in ("LIT_SHADOW", "DEBUG") else ""),
             "backend": backend,
             "device": str(jax.devices()[0]),
             "protocol": "median of 5 timed passes after fixed warmup",

@@ -214,3 +214,130 @@ def test_aces_tonemap_hand_computed():
                                                   + 0.14), 0.0, 1.0)
         got = float(aces_tonemap(jnp.float32(c)))
         np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-7)
+
+
+def test_deferred_lighting_hand_computed():
+    """Deferred pixel (VERDICT r5 item 7): world-space sun + G-buffer
+    8-bit albedo quantization + bf16 attachment storage, hand-evaluated
+    in f64 against the scaffolding's intended math
+    (src/deferredRenderPipeline.rs:193-271 — the lighting rig of
+    src/shader.wgsl:171-257 in world space, ACES for the HDR surface).
+
+    The albedo 0.3 is chosen to be INEXACT in both storage formats: it
+    lands at bf16(0.3)=0.30078125 in the material table, then quantizes
+    to round(.30078125*255)/255 = 77/255 in the 8-bit G-buffer — a
+    missing quantization step fails this test."""
+    from kanirenderer_tpu.shade import deferred as dmod
+
+    D = 16
+    sm = np.zeros((D, D), np.float32)
+    sm[:, D // 2:] = 1.0          # PCF factor 0.5 at the column boundary
+    tbl = build_shadow_table(jnp.asarray(sm))
+    scene = _flat_material_scene(diffuse=(0.3, 0.3, 0.3))
+    lvp = _shadow_lvp((0.5, 0.5, 0.5))
+    gbuf = dmod.write_gbuffer(scene, _fragment(), CAMERA_POS, lvp)
+
+    # G-buffer contents themselves, hand-checked
+    alb = float(np.float32(np.asarray(jnp.bfloat16(0.3), np.float32)))
+    alb_q = round(alb * 255.0) / 255.0
+    np.testing.assert_allclose(np.asarray(gbuf.albedo)[:, 2, 2],
+                               np.full(3, alb_q), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(gbuf.normal.astype(jnp.float32))[:, 2, 2],
+        [0.0, 0.0, 1.0], atol=0)   # (0,0,1) is exact in bf16
+
+    got = np.asarray(dmod.deferred_lighting(gbuf, LIGHTS, tbl, hdr=True,
+                                            shadow_dim=D))
+
+    # --- hand evaluation, float64 ---
+    n = np.array([0.0, 0.0, 1.0])
+    view = np.array([0.0, 0.0, 1.0])
+    # movable point light at (0,0,2), color 20 (lib.rs:433-446)
+    dist = 2.0
+    att = 1.0 / (1.0 + 0.09 * dist + 0.032 * dist * dist) \
+        * np.clip(1.0 - (dist / 256.0) ** 4, 0.0, 1.0)
+    ldir = np.array([0.0, 0.0, 1.0])
+    half = (view + ldir) / np.linalg.norm(view + ldir)
+    movable = (max(n @ ldir, 0.0) * 20.0
+               + max(n @ half, 0.0) ** 32 * 20.0) * att
+    ambient = 20.0 * 0.0005
+    # directional sun, world-space correct (the deferred path's
+    # documented intentional divergence from the forward shader's
+    # tangent-space quirk): dl = -d/|d|
+    d = np.array([0.0, -0.9902682, -0.1391731])
+    dl = -d / np.linalg.norm(d)
+    half_d = (view + dl) / np.linalg.norm(view + dl)
+    sun = (max(n @ dl, 0.0) * 10.0
+           + max(n @ half_d, 0.0) ** 32 * (10.0 * 0.5)) * 0.5  # PCF 0.5
+    c = (movable + ambient + sun) * alb_q
+    want = np.clip((c * (2.51 * c + 0.03)) / (c * (2.43 * c + 0.59)
+                                              + 0.14), 0.0, 1.0)
+    np.testing.assert_allclose(got[:, 2, 2], np.full(3, want), atol=4e-6)
+
+
+def test_wireframe_edge_distance_coverage_hand_computed():
+    """Wireframe coverage (VERDICT r5 item 7): a pixel is covered iff its
+    center lies inside the triangle AND within wire_thresh=0.7 px of an
+    edge (the PolygonMode::Line analog, reference src/lib.rs:254 +
+    src/shader_wireframe.wgsl:140-144 flat white).  Hand-derived f64
+    point-line distances for a right triangle with the hypotenuse
+    x+y=31: the pixel center (14.5, 15.5) sits at d = 1/sqrt(2) =
+    0.70711 px — just OUTSIDE the 0.7 threshold — while (15.5, 15.5)
+    sits on the edge (d=0) and (11.5, 13.5) is interior at d=1.0:
+    a signed-distance normalization bug (missing |grad| divide, wrong
+    half-width) flips these."""
+    from kanirenderer_tpu.ops.raster_xla import rasterize_xla
+    from kanirenderer_tpu.ops.vertex import triangle_setup
+
+    Wd = Ht = 32
+
+    def ndc(sx, sy):
+        return [(sx / Wd) * 2.0 - 1.0, 1.0 - (sy / Ht) * 2.0, 0.5, 1.0]
+
+    # screen-space vertices (A at the right angle)
+    tri = np.array([ndc(10.5, 10.5), ndc(20.5, 10.5), ndc(10.5, 20.5)],
+                   np.float32)
+    st = triangle_setup(jnp.asarray(tri), jnp.asarray([[0, 1, 2]]),
+                        jnp.asarray([True]), Wd, Ht, cull_backfaces=False)
+    vis = rasterize_xla(st.setup, Wd, Ht, wireframe=True, wire_thresh=0.7)
+    mask = np.asarray(vis.tri) >= 0
+
+    def hand_d(px, py):
+        """f64 min distance from pixel center to the three edge lines."""
+        A, B, C = (10.5, 10.5), (20.5, 10.5), (10.5, 20.5)
+        p = np.array([px, py], np.float64)
+
+        def line_d(P, Q):
+            P, Q = np.asarray(P, np.float64), np.asarray(Q, np.float64)
+            t = Q - P
+            return abs(np.cross(t, p - P)) / np.linalg.norm(t)
+
+        return min(line_d(A, B), line_d(B, C), line_d(C, A))
+
+    # (pixel x, pixel y) -> expected coverage; centers at (+0.5, +0.5)
+    cases = {
+        (14, 15): False,  # hypotenuse d = 1/sqrt(2) = 0.7071 > 0.7
+        (15, 15): True,   # on the hypotenuse, d = 0
+        (11, 13): False,  # interior, d = 1.0 to the vertical edge
+        (10, 13): True,   # on the vertical edge x=10.5, d = 0
+        (12, 10): True,   # on the horizontal edge y=10.5, d = 0
+    }
+    # pin the hand distances themselves before asserting coverage
+    np.testing.assert_allclose(hand_d(14.5, 15.5), 1.0 / np.sqrt(2.0),
+                               atol=1e-12)
+    np.testing.assert_allclose(hand_d(11.5, 13.5), 1.0, atol=1e-12)
+    # hypotenuse d at (14.5, 14.5) is 2/sqrt(2) = 1.414 -> interior, off
+    cases[(14, 14)] = bool(hand_d(14.5, 14.5) <= 0.7)
+    for (px, py), want in cases.items():
+        d = hand_d(px + 0.5, py + 0.5)
+        inside = (px + 0.5 >= 10.5 and py + 0.5 >= 10.5
+                  and (px + 0.5) + (py + 0.5) <= 31.0)
+        assert bool(mask[py, px]) == (inside and d <= 0.7) == want, \
+            f"pixel ({px},{py}): d={d:.4f} inside={inside} " \
+            f"got={bool(mask[py, px])} want={want}"
+
+    # threshold sweep brackets the hand value: the 0.7071-px pixel turns
+    # on between wire_thresh 0.70 and 0.71
+    vis71 = rasterize_xla(st.setup, Wd, Ht, wireframe=True,
+                          wire_thresh=0.71)
+    assert bool(np.asarray(vis71.tri)[15, 14] >= 0)

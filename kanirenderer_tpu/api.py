@@ -104,6 +104,29 @@ def run(file_path: str = "", file_type: str = "opengl",
             shadow_tile_h=int(os.environ.get("KANI_SHADOW_TILE_H", 32)),
             max_tiles_per_chunk=32, max_chunks_per_tile=512,
             max_global_chunks=128)
+    # Content-adaptive occlusion scope (KANI_OCC=auto): replay the
+    # kernels' skip logic over a tile sample of the loaded scene at the
+    # starting pose and enable main-grid occlusion only when the
+    # estimated eval drop clears the machinery's ~3%-of-frame cost
+    # (ops/occ_replay.choose_occ_scope; open scenes stay at the "shadow"
+    # default, layered/occlusion-heavy content flips to "1").
+    if (os.environ.get("KANI_OCC") == "auto"
+            and raster_backend == "pallas"):
+        try:
+            from kanirenderer_tpu.core.types import (default_camera,
+                                                     default_lights,
+                                                     frame_state)
+            from kanirenderer_tpu.ops.occ_replay import choose_occ_scope
+            st0 = frame_state(scene, default_camera(), default_lights())
+            scope, est = choose_occ_scope(scene, st0, cfg)
+            cfg = cfg.with_(occ_scope=scope)
+            if verbose:
+                print(f"occlusion gate: scope={scope} "
+                      f"(est. eval drop {est['eval_drop']:.1%}, "
+                      f"run skip {est['run_skip']:.1%})")
+        except Exception as e:
+            if verbose:
+                print(f"occlusion gate failed ({e!r}); keeping default")
     # Remote-attached hosts (the axon tunnel): the device→host present
     # transfer dominates the interactive loop (~40 ms fixed + ~30 ms/MB),
     # so window presents default to a half-res on-device preview (4x less

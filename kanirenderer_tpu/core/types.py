@@ -290,6 +290,14 @@ class RenderConfig:
     # The host sink upscales (runtime/loop.py).  No reference analog; a
     # PCIe-local host leaves this at 1.
     present_scale: int = 1
+    # Sub-tile occlusion-culling scope (static — the executable either
+    # carries the strip z-max tables or not): "env" defers to KANI_OCC
+    # ("shadow" default — depth-only rasters, where the ortho grid skips
+    # 65-80% of runs); "0" | "shadow" | "1" override per config.  The
+    # content-adaptive gate (ops/occ_replay.choose_occ_scope, wired to
+    # KANI_OCC=auto in api.run) picks "1" only when the estimated
+    # main-grid eval drop clears the machinery's ~3%-of-frame cost.
+    occ_scope: str = "env"
     wire_thresh_px: float = 0.7     # wireframe edge half-width in pixels
     # Pallas raster kernel: triangles evaluated per inner step
     raster_tri_batch: int = 8

@@ -117,6 +117,71 @@ def _grid_quads(origin, du, dv, nu, nv, vbase):
     return pos, uv, nrm, tris
 
 
+def layered_scene(layers: int = 4, target_tris: int = 260_000,
+                  tex_size: int = 256, seed: int = 7) -> Scene:
+    """Occlusion-heavy benchmark content: ``layers`` parallel
+    screen-filling walls stacked in depth in front of the default camera
+    (position (0,5,10) looking −Z, core/types.default_camera), each
+    subdivided to ~target_tris/layers triangles.  Everything behind the
+    front wall is fully occluded — the positive control for the
+    content-adaptive occlusion gate (ops/occ_replay.choose_occ_scope):
+    the main perspective grid skips ~half its runs here where the open
+    courtyard scene skips <1% (tests/artifacts/occ_stats_main_r4.json)."""
+    rng = np.random.RandomState(seed)
+    b = SceneBuilder()
+    for i in range(layers):
+        col_a = rng.randint(60, 255, 3)
+        col_b = (col_a * 0.5).astype(np.int64)
+        b.textures.append(MaterialTextures(
+            name=f"layer_{i}",
+            diffuse=_checker_texture(tex_size, col_a, col_b, tiles=8),
+            normal=_noise_normal_texture(tex_size, rng)))
+
+    per_layer = max(1, target_tris // (2 * layers))
+    nu = max(1, int(np.sqrt(per_layer)))
+    nv = max(1, per_layer // nu)
+    positions, uvs, normals, tris, mats = [], [], [], [], []
+    vbase = 0
+    for k in range(layers):
+        z = -200.0 - 200.0 * k
+        # Size each wall to the frustum slab at its depth (fovy 45°,
+        # pitch −20° shifts the view center down) with 1.4× margin, so
+        # nearly every triangle lands on screen and deeper layers sit
+        # fully behind the front wall in every covered pixel.
+        dist = 10.0 - z
+        hh = dist * np.tan(np.deg2rad(22.5)) * 1.4
+        hw = hh * (1920.0 / 1080.0)
+        cy = 5.0 - dist * np.tan(np.deg2rad(20.0))
+        p, u, n, t = _grid_quads((-hw, cy + hh, z), (2 * hw, 0, 0),
+                                 (0, -2 * hh, 0), nu, nv, vbase)
+        positions.append(p)
+        uvs.append(u)
+        normals.append(n)
+        tris.append(t)
+        mats.append(np.full(len(t), k % layers, np.int32))
+        vbase += len(p)
+
+    mesh = obj_mod.ObjMesh(
+        name="layered", positions=np.concatenate(positions),
+        texcoords=np.concatenate(uvs), normals=np.concatenate(normals),
+        indices=np.concatenate(tris), material_id=0)
+    from kanirenderer_tpu.io.scene_loader import compute_tbn
+    t, bt = compute_tbn(mesh.positions, mesh.texcoords, mesh.indices)
+    b.positions.append(mesh.positions)
+    b.uvs.append(mesh.texcoords)
+    b.normals.append(mesh.normals)
+    b.tangents.append(t)
+    b.bitangents.append(bt)
+    b.vertex_object.append(np.zeros(len(mesh.positions), np.int32))
+    b.tri_idx.append(mesh.indices)
+    b.tri_mat.append(np.concatenate(mats))
+    b.object_transforms.append(
+        (np.zeros(3, np.float32), np.zeros(4, np.float32)))
+    b._num_objects = 1
+    b._vert_base = len(mesh.positions)
+    return b.build()
+
+
 def sponza_standin_scene(target_tris: int = 262_000, num_materials: int = 25,
                          tex_size: int = 256,
                          seed: int = 0) -> Scene:

@@ -678,26 +678,40 @@ def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
     return outs
 
 
-def _occ_on(num_tiles: int, tile_h: int, zmin, depth_only: bool = False
-            ) -> bool:
+def _occ_on(num_tiles: int, tile_h: int, zmin, depth_only: bool = False,
+            scope: str = "env") -> bool:
     """Static predicate: sub-tile occlusion is active for this grid —
     must be used identically by the binner call and the kernel compile
     (a z-ordered stream with an occlusion-blind kernel is merely an
     ordering change; the reverse would mis-skip — prevented belt-and-
-    braces by the kernel's q == 0 never-skip guard)."""
-    if OCC_MODE == "shadow" and not depth_only:
+    braces by the kernel's q == 0 never-skip guard).
+
+    ``scope``: "env" defers to KANI_OCC (module default); any other
+    value ("0" | "shadow" | "1") overrides it — RenderConfig.occ_scope
+    rides the jit static config, so the content-adaptive gate
+    (ops/occ_replay.choose_occ_scope) selects a scope per compiled
+    config instead of mutating process env."""
+    mode = OCC_MODE if scope == "env" else scope
+    if mode == "auto":
+        # KANI_OCC=auto resolves at scene load (api.run) into a concrete
+        # RenderConfig.occ_scope; reaching the kernel unresolved means
+        # the caller skipped the gate — use the safe default.
+        mode = "shadow"
+    if mode == "0":
         return False
-    return (OCC and BIN_MODE == "stream" and zmin is not None
+    if mode == "shadow" and not depth_only:
+        return False
+    return (BIN_MODE == "stream" and zmin is not None
             and binning.stream_has_occ(num_tiles, tile_h))
 
 
 def _bin(bbox, tiles_x, tiles_y, tile_w, tile_h, S, K, G, clipfree,
-         zmin=None, depth_only=False):
+         zmin=None, depth_only=False, occ_scope="env"):
     binner = binning.bin_stream if BIN_MODE == "stream" else binning.bin_chunks
     return binner(bbox, tiles_x, tiles_y, tile_w, tile_h, S, K, G,
                   clipfree=clipfree,
                   zmin=zmin if _occ_on(tiles_x * tiles_y, tile_h, zmin,
-                                       depth_only)
+                                       depth_only, occ_scope)
                   else None)
 
 
@@ -705,10 +719,12 @@ def _bin(bbox, tiles_x, tiles_y, tile_w, tile_h, S, K, G, clipfree,
 def rasterize(st: TriangleSetup, config: RenderConfig,
               wireframe: bool = False) -> VisBuffer:
     cfg = config
-    occ = _occ_on(cfg.tiles_x * cfg.tiles_y, cfg.tile_h, st.zmin)
+    occ = _occ_on(cfg.tiles_x * cfg.tiles_y, cfg.tile_h, st.zmin,
+                  scope=cfg.occ_scope)
     bins = _bin(st.bbox, cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h,
                 cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
-                cfg.max_global_chunks, st.clipfree, st.zmin)
+                cfg.max_global_chunks, st.clipfree, st.zmin,
+                occ_scope=cfg.occ_scope)
     z, tri, b1, b2 = _run(st.setup, bins, cfg.tiles_x, cfg.tiles_y,
                           cfg.tile_w, cfg.tile_h, wireframe,
                           cfg.wire_thresh_px, False,
@@ -1184,10 +1200,12 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
         rcols = jnp.array([2, 5, 8, 11, 14, LSUM0 + 2])
         records = records.at[:, rcols].add(records[:, rcols - 1] * y0f)
     tiles_y = -(-band_h // cfg.tile_h)
-    occ = _occ_on(cfg.tiles_x * tiles_y, cfg.tile_h, st.zmin)
+    occ = _occ_on(cfg.tiles_x * tiles_y, cfg.tile_h, st.zmin,
+                  scope=cfg.occ_scope)
     bins = _bin(bbox, cfg.tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
                 cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
-                cfg.max_global_chunks, st.clipfree, st.zmin)
+                cfg.max_global_chunks, st.clipfree, st.zmin,
+                occ_scope=cfg.occ_scope)
     C = setup.shape[0] // CHUNK_SIZE
     assert records.shape[1] == REC_WIDTH, \
         f"records must be {REC_WIDTH}-lane (got {records.shape[1]}) — " \
@@ -1240,12 +1258,13 @@ def rasterize_depth(st: TriangleSetup, config: RenderConfig,
         bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
     tiles_x = -(-dim // cfg.tile_w)
     tiles_y = -(-H // th)
-    occ = _occ_on(tiles_x * tiles_y, th, st.zmin, depth_only=True)
+    occ = _occ_on(tiles_x * tiles_y, th, st.zmin, depth_only=True,
+                  scope=cfg.occ_scope)
     if bins is None:
         bins = _bin(bbox, tiles_x, tiles_y, cfg.tile_w, th,
                     cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
                     cfg.max_global_chunks, st.clipfree, st.zmin,
-                    depth_only=True)
+                    depth_only=True, occ_scope=cfg.occ_scope)
     (z,) = _run(setup, bins, tiles_x, tiles_y, cfg.tile_w, th,
                 False, 0.0, True,
                 cfg.shadow_chunks_per_tile, cfg.max_global_chunks,

@@ -176,7 +176,7 @@ def render_shadow_geometry(scene: Scene, state: FrameState,
             sh_setup.bbox, tiles_x, tiles_y, cfg.tile_w, cfg.shadow_tile_h,
             cfg.max_tiles_per_chunk, cfg.shadow_chunks_per_tile,
             cfg.max_global_chunks, sh_setup.clipfree, sh_setup.zmin,
-            depth_only=True)
+            depth_only=True, occ_scope=cfg.occ_scope)
     return sh_setup, bins
 
 

@@ -21,51 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def simulate_tile(runs, setup, tile_x0, tile_y0, tile_h, tile_w, nstrips,
-                  srows, occ_period, qbits, sub, subs_per_chunk, chunk):
-    """Replay one tile's run list; returns (evals_total, evals_done,
-    runs_total, runs_skipped).  ``runs``: list of (cid0, ln, mask, pay)."""
-    z = np.ones((tile_h, tile_w), np.float32)
-    strips = np.ones(nstrips, np.float32)
-    xs = tile_x0 + 0.5 + np.arange(tile_w, dtype=np.float32)
-    ys = tile_y0 + 0.5 + np.arange(tile_h, dtype=np.float32)
-    ev_tot = ev_done = skipped = 0
-    for s, (cid0, ln, mask, pay) in enumerate(runs):
-        q = pay // 256
-        s0, s1 = (pay // 16) % 16, pay % 16
-        zb = 1.0 - q * 2.0 ** -qbits
-        n_ev = 0
-        for k in range(ln):
-            bits = (mask >> (subs_per_chunk * k)) & ((1 << subs_per_chunk) - 1)
-            n_ev += bin(bits).count("1")
-        ev_tot += n_ev * sub
-        skip = q > 0 and zb > strips[s0:s1 + 1].max()
-        if skip:
-            skipped += 1
-        else:
-            ev_done += n_ev * sub
-            for k in range(ln):
-                bits = (mask >> (subs_per_chunk * k)) \
-                    & ((1 << subs_per_chunk) - 1)
-                for b in range(subs_per_chunk):
-                    if not (bits >> b) & 1:
-                        continue
-                    rows = setup[(cid0 + k) * chunk + b * sub:
-                                 (cid0 + k) * chunk + (b + 1) * sub]
-                    # l_i = a·x + b·y + c over the tile, 4 planes/tri
-                    lx = rows[:, [0, 3, 6, 9], None] * xs[None, None, :] \
-                        + rows[:, [2, 5, 8, 11], None]      # (SUB, 4, W)
-                    ly = rows[:, [1, 4, 7, 10], None] * ys[None, None, :]
-                    l = lx[:, :, None, :] + ly[:, :, :, None]  # (SUB,4,H,W)
-                    zt = l[:, 3]
-                    cov = ((l[:, 0] >= 0) & (l[:, 1] >= 0) & (l[:, 2] >= 0)
-                           & (zt >= 0) & (zt <= 1.0))
-                    zc = np.where(cov, zt, 2.0).min(axis=0)
-                    z = np.minimum(z, zc)
-        if s % occ_period == occ_period - 1:
-            for st in range(nstrips):
-                strips[st] = z[st * srows:(st + 1) * srows].max()
-    return ev_tot, ev_done, len(runs), skipped
+# The replay body now lives in the package (the content-adaptive gate
+# uses it at scene load): kanirenderer_tpu/ops/occ_replay.simulate_tile.
+from kanirenderer_tpu.ops.occ_replay import simulate_tile  # noqa: E402
 
 
 def ceiling_tile(runs, setup, zmin_t, bbox_t, tile_x0, tile_y0, tile_h,

@@ -411,7 +411,8 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
                    b1_ref, b2_ref, list_smem, chunk_buf, strips_ref,
                    flags_ref, list_sem, sem, *,
                    tile_h, tile_w, tiles_x, num_tiles, wireframe,
-                   wire_thresh, depth_only, stream_cpad, dual_cf, occ):
+                   wire_thresh, depth_only, stream_cpad, dual_cf, occ,
+                   y_stride=1):
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile_id = i * tiles_x + j
@@ -446,7 +447,12 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
             sem.at[slot])
 
     tx0f = (j * tile_w).astype(jnp.float32)
-    ty0f = (i * tile_h).astype(jnp.float32)
+    # Interleaved row-band mode (y_stride > 1): the grid's band tile row
+    # i maps to GLOBAL tile row i·y_stride + k; the traced k·tile_h
+    # offset is folded into the plane constants host-side (the same
+    # c ← c + b·y0 re-anchor contiguous bands use), so the kernel's y is
+    # simply stride-scaled — a static constant, no extra operand.
+    ty0f = (i * (tile_h * y_stride)).astype(jnp.float32)
 
     # Decomposed plane evaluation: a·x + b·y + c = (a·X + c)[lanes]
     # + (b·Y)[sublanes], so each per-triangle (tile_h, tile_w) plane is
@@ -587,7 +593,8 @@ def _list_scratch(num_chunks: int, cfg_k: int, cfg_g: int, bins):
 
 def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
          tile_w: int, tile_h: int, wireframe: bool, wire_thresh: float,
-         depth_only: bool, cfg_k: int, cfg_g: int, occ: bool = False):
+         depth_only: bool, cfg_k: int, cfg_g: int, occ: bool = False,
+         y_stride: int = 1, bins_tiles: int | None = None):
     C = setup.shape[0] // CHUNK_SIZE
     # RUN_CHUNKS-1 zero tail chunks keep the fixed-size run DMA in-bounds
     # for runs starting near the end.  NOTE: all-zero pad rows would pass
@@ -605,14 +612,19 @@ def _run(setup: Array, bins, tiles_x: int, tiles_y: int,
 
     list_scratch, list_sem_t, list_ops, stream_cpad = _list_scratch(
         C, cfg_k, cfg_g, bins)
+    # dual_cf/occ must match what the BINNER packed: with interleaved
+    # bands the binning ran on the full grid (bins_tiles tiles), not the
+    # band's tiles_x*tiles_y.
+    bt = bins_tiles if bins_tiles is not None else tiles_x * tiles_y
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
         num_tiles=tiles_x * tiles_y,
         wireframe=wireframe, wire_thresh=wire_thresh, depth_only=depth_only,
         stream_cpad=stream_cpad,
         dual_cf=(stream_cpad is not None and RUNCF
-                 and binning.stream_has_cf(tiles_x * tiles_y, C)),
-        occ=(occ and stream_cpad is not None and cfg_k + cfg_g <= 1024))
+                 and binning.stream_has_cf(bt, C)),
+        occ=(occ and stream_cpad is not None and cfg_k + cfg_g <= 1024),
+        y_stride=y_stride)
 
     stream = stream_cpad is not None
     bmap = ((lambda i, j, hdr: (i, j)) if stream else (lambda i, j: (i, j)))
@@ -740,7 +752,7 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                   chunk_buf, fat_buf, cand_ref, win_smem, cnt_smem,
                   strips_ref, flags_ref, list_sem, sem, *, tile_h,
                   tile_w, tiles_x, num_tiles, wireframe, wire_thresh,
-                  stream_cpad, dual_cf, occ):
+                  stream_cpad, dual_cf, occ, y_stride=1):
     """Raster + interpolate in one pass over the tile's run list.
 
     Phase 1 — visibility: the tournament of ``_raster_kernel`` with a slim
@@ -787,7 +799,8 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
             sem.at[slot])
 
     tx0f = (j * tile_w).astype(jnp.float32)
-    ty0f = (i * tile_h).astype(jnp.float32)
+    # Interleaved bands: stride-scaled y (see _raster_kernel).
+    ty0f = (i * (tile_h * y_stride)).astype(jnp.float32)
     X = tx0f + 0.5 + jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
     Y = ty0f + 0.5 + jax.lax.broadcasted_iota(
@@ -1093,19 +1106,22 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
 def _run_fused(rec_c: Array, bins,
                tile_w: int, tile_h: int, tiles_x: int, tiles_y: int,
                wireframe: bool, wire_thresh: float,
-               cfg_k: int, cfg_g: int, occ: bool = False):
+               cfg_k: int, cfg_g: int, occ: bool = False,
+               y_stride: int = 1, bins_tiles: int | None = None):
     ph, pw = tiles_y * tile_h, tiles_x * tile_w
     C = rec_c.shape[0] - (RUN_CHUNKS - 1)   # rec_c carries the DMA tail pad
     list_scratch, list_sem_t, list_ops, stream_cpad = _list_scratch(
         C, cfg_k, cfg_g, bins)
+    bt = bins_tiles if bins_tiles is not None else tiles_x * tiles_y
     kernel = functools.partial(
         _fused_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
         num_tiles=tiles_x * tiles_y,
         wireframe=wireframe, wire_thresh=wire_thresh,
         stream_cpad=stream_cpad,
         dual_cf=(stream_cpad is not None and RUNCF
-                 and binning.stream_has_cf(tiles_x * tiles_y, C)),
-        occ=(occ and stream_cpad is not None and cfg_k + cfg_g <= 1024))
+                 and binning.stream_has_cf(bt, C)),
+        occ=(occ and stream_cpad is not None and cfg_k + cfg_g <= 1024),
+        y_stride=y_stride)
 
     stream = stream_cpad is not None
     bmap = ((lambda i, j, hdr: (i, j)) if stream else (lambda i, j: (i, j)))
@@ -1163,13 +1179,30 @@ def _run_fused(rec_c: Array, bins,
     )(*list_ops, rec_c)
 
 
+
+
+def _slice_stream_bins(bins, tiles_band: int, y_stride: int,
+                       tiles_x: int, k):
+    """Interleaved-band view of FULL-GRID stream binning: keep the shared
+    run stream, take this chip's per-tile header columns — global tile
+    row r belongs to chip k iff r % y_stride == k, at band tile row
+    r // y_stride.  ``k`` is traced (lax.axis_index under shard_map)."""
+    assert isinstance(bins, binning.StreamBins), \
+        "interleaved bands require stream binning (KANI_BIN=stream)"
+    hdr = bins.header.reshape(3, tiles_band, y_stride, tiles_x)
+    hdr = jax.lax.dynamic_index_in_dim(hdr, k, axis=2, keepdims=False)
+    return bins._replace(header=hdr.reshape(3, tiles_band * tiles_x))
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("config", "wireframe", "band_h"))
+                   static_argnames=("config", "wireframe", "band_h",
+                                    "y_stride"))
 def rasterize_pixels(st: TriangleSetup, records: Array,
                      config: RenderConfig,
                      wireframe: bool = False,
                      band_h: int | None = None,
-                     y0: Array | None = None) -> PixelBuffer:
+                     y0: Array | None = None,
+                     y_stride: int = 1) -> PixelBuffer:
     """Fused visibility raster + record interpolation (one Pallas launch).
 
     ``records``: (T, REC_WIDTH=128) per-triangle shading records from
@@ -1184,28 +1217,48 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
     than plumbing it into the kernel, the linear edge/depth equations are
     re-anchored (c ← c + b·y0) and the bboxes shifted, so the kernel
     always rasterizes rows [0, band_h).
+
+    ``y_stride`` > 1 — INTERLEAVED bands (load balancing, r5): the band
+    is tile rows k, k+y_stride, k+2·y_stride, … of the full frame
+    (k = y0 / tile_h, traced), so content skew spreads evenly across
+    chips instead of gating the frame on the heaviest contiguous band
+    (measured 23.2 vs 17.6 ms at n=2 — multichip_scaling_r5.json).
+    Binning runs on the FULL grid (the stream is shared; each chip takes
+    its tile columns of the header) and the kernel's y is stride-scaled
+    (a static constant — no extra kernel operand).  band_h must be
+    tiles_band·tile_h; band row block j holds global tile row
+    j·y_stride + k.
     """
     cfg = config
     setup, bbox = st.setup, st.bbox
     if band_h is None:
         band_h = cfg.height
+    if y_stride > 1:
+        assert y0 is not None and band_h % cfg.tile_h == 0, \
+            "interleaved bands need y0 and a tile-aligned band_h"
+    y0f = None
     if y0 is not None:
         y0f = jnp.asarray(y0, jnp.float32)
         cols = jnp.array([2, 5, 8, 11, 14])
         setup = setup.at[:, cols].add(setup[:, cols - 1] * y0f)
-        bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
+        if y_stride == 1:
+            bbox = bbox.at[:, jnp.array([1, 3])].add(-y0f)
         # The records' leading setup lanes AND the lsum edge row (lanes
         # LSUM0:LSUM0+3 — it is a plane too) feed phase-2's barycentric
         # recompute — re-anchor their constant lanes identically.
         rcols = jnp.array([2, 5, 8, 11, 14, LSUM0 + 2])
         records = records.at[:, rcols].add(records[:, rcols - 1] * y0f)
     tiles_y = -(-band_h // cfg.tile_h)
-    occ = _occ_on(cfg.tiles_x * tiles_y, cfg.tile_h, st.zmin,
+    bins_ty = tiles_y * y_stride   # full grid when interleaved
+    occ = _occ_on(cfg.tiles_x * bins_ty, cfg.tile_h, st.zmin,
                   scope=cfg.occ_scope)
-    bins = _bin(bbox, cfg.tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
+    bins = _bin(bbox, cfg.tiles_x, bins_ty, cfg.tile_w, cfg.tile_h,
                 cfg.max_tiles_per_chunk, cfg.max_chunks_per_tile,
                 cfg.max_global_chunks, st.clipfree, st.zmin,
                 occ_scope=cfg.occ_scope)
+    if y_stride > 1:
+        k = jnp.round(y0f / cfg.tile_h).astype(jnp.int32)
+        bins = _slice_stream_bins(bins, tiles_y, y_stride, cfg.tiles_x, k)
     C = setup.shape[0] // CHUNK_SIZE
     assert records.shape[1] == REC_WIDTH, \
         f"records must be {REC_WIDTH}-lane (got {records.shape[1]}) — " \
@@ -1219,7 +1272,8 @@ def rasterize_pixels(st: TriangleSetup, records: Array,
     z, vary, mat, tw, th, base, bw, tid = _run_fused(
         rec_c, bins, cfg.tile_w, cfg.tile_h, cfg.tiles_x, tiles_y,
         wireframe, cfg.wire_thresh_px,
-        cfg.max_chunks_per_tile, cfg.max_global_chunks, occ=occ)
+        cfg.max_chunks_per_tile, cfg.max_global_chunks, occ=occ,
+        y_stride=y_stride, bins_tiles=cfg.tiles_x * bins_ty)
     H, W = band_h, cfg.width
     return PixelBuffer(varyings=vary[:, :H, :W], mat_id=mat[:H, :W],
                        tex_w=tw[:H, :W], tex_h=th[:H, :W],

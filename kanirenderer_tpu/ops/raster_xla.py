@@ -37,17 +37,26 @@ class VisBuffer(NamedTuple):
     bary: Array  # (H, W, 2) f32 perspective-correct (λ1, λ2)
 
 
-def _pixel_grid(width: int, height: int, y0=0.0) -> tuple[Array, Array]:
+def _pixel_grid(width: int, height: int, y0=0.0, y_stride: int = 1,
+                tile_h: int = 0) -> tuple[Array, Array]:
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
-    ys = jnp.arange(height, dtype=jnp.float32) + 0.5 + y0
+    r = jnp.arange(height, dtype=jnp.float32)
+    if y_stride > 1:
+        # Interleaved row bands (ops/raster_pallas interleaved mode):
+        # band row block j = global tile row j·y_stride + k, with the
+        # traced k·tile_h offset arriving via y0.
+        r = (r // tile_h) * (y_stride * tile_h) + (r % tile_h)
+    ys = r + 0.5 + y0
     return xs[None, :], ys[:, None]  # broadcastable (1, W), (H, 1)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "wireframe",
-                                   "wire_thresh", "batch"))
+                                   "wire_thresh", "batch", "y_stride",
+                                   "tile_h"))
 def rasterize_xla(setup: Array, width: int, height: int,
                   wireframe: bool = False, wire_thresh: float = 0.7,
-                  batch: int = 16, y_offset=0.0) -> VisBuffer:
+                  batch: int = 16, y_offset=0.0, y_stride: int = 1,
+                  tile_h: int = 0) -> VisBuffer:
     """Rasterize all triangles (setup rows, see ops/vertex.py) brute-force.
 
     ``wireframe``: restrict coverage to pixels within ``wire_thresh`` pixels
@@ -62,7 +71,7 @@ def rasterize_xla(setup: Array, width: int, height: int,
             [setup, jnp.zeros((pad, setup.shape[1]), setup.dtype)])
     chunks = setup.reshape(-1, batch, setup.shape[1])
 
-    X, Y = _pixel_grid(width, height, y_offset)
+    X, Y = _pixel_grid(width, height, y_offset, y_stride, tile_h)
 
     def body(carry, args):
         zbuf, tri, b1, b2 = carry

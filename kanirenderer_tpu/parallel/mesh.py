@@ -66,16 +66,42 @@ def make_mesh(devices=None, axis: str = "rows") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-@partial(jax.jit, static_argnames=("config", "mesh", "axis"))
+def _band_geometry(config: RenderConfig, n: int, interleave: bool):
+    """(band_h, y0 step) for contiguous or interleaved row bands."""
+    if not interleave:
+        return config.height // n, None
+    tiles_full = -(-config.height // config.tile_h)
+    tiles_band = -(-tiles_full // n)
+    return tiles_band * config.tile_h, config.tile_h
+
+
+def deinterleave_rows(arr, n: int, tile_h: int, height: int):
+    """Reassemble an interleave-sharded row-band stack (host or device):
+    stacked (n·J·tile_h, …) band-major → global row order, cropped to
+    ``height``.  Chip k's band row block j is global tile row
+    j·n + k."""
+    import numpy as _np
+    xp = _np if isinstance(arr, _np.ndarray) else jnp
+    J = arr.shape[0] // (n * tile_h)
+    a = arr.reshape((n, J, tile_h) + arr.shape[1:])
+    a = xp.swapaxes(a, 0, 1)
+    return a.reshape((n * J * tile_h,) + arr.shape[1:])[:height]
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "axis", "interleave"))
 def _render_sharded(scene: Scene, state: FrameState, config: RenderConfig,
                     mesh: Mesh, axis: str,
-                    shadow_map: Array | None) -> FrameOutputs:
-    band_h = config.height // mesh.devices.size
+                    shadow_map: Array | None,
+                    interleave: bool = False) -> FrameOutputs:
+    n = mesh.devices.size
+    band_h, step = _band_geometry(config, n, interleave)
 
     def band(scene, state, shadow_map):
-        y0 = (jax.lax.axis_index(axis) * band_h).astype(jnp.float32)
+        y0 = (jax.lax.axis_index(axis)
+              * (step if interleave else band_h)).astype(jnp.float32)
         out = render_band(scene, state, config, shadow_map=shadow_map,
-                          band_h=band_h, y0=y0, band_axis=axis)
+                          band_h=band_h, y0=y0, band_axis=axis,
+                          band_stride=n if interleave else 1)
         return out.image, out.depth
 
     specs_in = (P(), P(), P())
@@ -89,17 +115,34 @@ def _render_sharded(scene: Scene, state: FrameState, config: RenderConfig,
 
 def render_frame_sharded(scene: Scene, state: FrameState,
                          config: RenderConfig, mesh: Mesh,
-                         shadow_map: Array | None = None) -> FrameOutputs:
+                         shadow_map: Array | None = None,
+                         interleave: bool = False) -> FrameOutputs:
     """Render one frame with the framebuffer row-sharded over ``mesh``.
 
     Returns ``FrameOutputs`` whose image (H, W, 3) and depth (H, W) are
     sharded over rows.  config.height must be divisible by the mesh size.
     ``shadow_map``: optional host-cached shadow map (replicated to every
     chip), same semantics as ``render_frame``'s static-external path.
+
+    ``interleave``: INTERLEAVED tile-row bands instead of contiguous ones
+    (r5 load balancing): a contiguous split is gated by the heaviest
+    band — measured 23.2 vs 17.6 ms/band at n=2 on the bench scene
+    (tests/artifacts/multichip_scaling_r5.json) — while interleaving
+    spreads content skew to tile-row granularity.  The returned
+    image/depth rows are band-major; reassemble with
+    ``deinterleave_rows(np.asarray(out.image), n, config.tile_h,
+    config.height)``.  Not supported in DEBUG mode (its overlays anchor
+    to contiguous rows).
     """
     n = mesh.devices.size
-    assert config.height % n == 0, "height must divide across the mesh"
     axis = mesh.axis_names[0]
+    if interleave:
+        if shadow_map is None:
+            return _render_sharded_fresh(scene, state, config, mesh, axis,
+                                         interleave=True)
+        return _render_sharded(scene, state, config, mesh, axis, shadow_map,
+                               interleave=True)
+    assert config.height % n == 0, "height must divide across the mesh"
     if shadow_map is None:
         # Static None must not reach jit as a pytree leaf of changing
         # structure; the band body treats a 1x1 zeros map as "render fresh"
@@ -108,18 +151,23 @@ def render_frame_sharded(scene: Scene, state: FrameState,
     return _render_sharded(scene, state, config, mesh, axis, shadow_map)
 
 
-@partial(jax.jit, static_argnames=("config", "mesh", "axis"))
+@partial(jax.jit,
+         static_argnames=("config", "mesh", "axis", "interleave"))
 def _render_sharded_fresh(scene: Scene, state: FrameState,
                           config: RenderConfig, mesh: Mesh,
-                          axis: str) -> FrameOutputs:
-    band_h = config.height // mesh.devices.size
+                          axis: str,
+                          interleave: bool = False) -> FrameOutputs:
+    n = mesh.devices.size
+    band_h, step = _band_geometry(config, n, interleave)
 
     def band(scene, state):
-        y0 = (jax.lax.axis_index(axis) * band_h).astype(jnp.float32)
+        y0 = (jax.lax.axis_index(axis)
+              * (step if interleave else band_h)).astype(jnp.float32)
         out = render_band(scene, state, config, band_h=band_h, y0=y0,
                           shadow_axis=axis,
                           shadow_bands=mesh.devices.size,
-                          band_axis=axis)
+                          band_axis=axis,
+                          band_stride=n if interleave else 1)
         return out.image, out.depth
 
     fn = shard_map(band, mesh=mesh, in_specs=(P(), P()),

@@ -52,7 +52,7 @@ class FrameOutputs(NamedTuple):
 def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
                         wireframe: bool, setup_planes=None,
                         band_h: int | None = None,
-                        y0=None):
+                        y0=None, band_stride: int = 1):
     """Raster + varying interpolation; both backends return a PixelBuffer.
 
     Pallas (TPU): one fused kernel — visibility tournament + in-VMEM
@@ -79,11 +79,13 @@ def _raster_interpolate(scene: Scene, vout, st, cfg: RenderConfig,
                                         extra=scene.tri_extra)
         return raster_pallas.rasterize_pixels(st, records, cfg,
                                               wireframe=wireframe,
-                                              band_h=band_h, y0=y0)
+                                              band_h=band_h, y0=y0,
+                                              y_stride=band_stride)
     vis = raster_xla.rasterize_xla(
         st.setup, cfg.width, cfg.height if band_h is None else band_h,
         wireframe=wireframe, wire_thresh=cfg.wire_thresh_px,
-        y_offset=0.0 if y0 is None else y0)
+        y_offset=0.0 if y0 is None else y0,
+        y_stride=band_stride, tile_h=cfg.tile_h)
     return interpolate(vis, scene.tri_idx, scene.tri_mat, vout.varyings,
                        scene.mat_blk_base, scene.mat_blk_w,
                        scene.mat_tex_size)
@@ -190,7 +192,8 @@ def render_band(scene: Scene, state: FrameState,
                 shadow_axis: str | None = None,
                 shadow_bands: int = 1,
                 band_axis: str | None = None,
-                view_wh: Array | None = None) -> FrameOutputs:
+                view_wh: Array | None = None,
+                band_stride: int = 1) -> FrameOutputs:
     """The frame pipeline body, optionally restricted to a row band.
 
     This is the ONE implementation of the per-frame pass sequence; both
@@ -219,6 +222,14 @@ def render_band(scene: Scene, state: FrameState,
     cfg = config
     mode = cfg.mode
     banded = band_h is not None
+    # Interleaved row bands (load balancing, r5 — see ops/raster_pallas
+    # rasterize_pixels): the band is tile rows k, k+stride, … so content
+    # skew spreads across chips; y0 must be k·tile_h.  DEBUG overlays
+    # anchor to contiguous global rows and are not supported interleaved.
+    if band_stride > 1:
+        assert banded, "band_stride needs band_h"
+        assert mode != RenderMode.DEBUG, \
+            "DEBUG overlays are contiguous-band only"
 
     # Resize-without-recompile (reference State::resize is an instant
     # surface reconfigure, src/lib.rs:1166; an XLA recompile is not):
@@ -342,7 +353,8 @@ def render_band(scene: Scene, state: FrameState,
         setup_planes = None
     pix = _raster_interpolate(scene, vout, setup, cfg, wireframe,
                               setup_planes=setup_planes,
-                              band_h=band_h, y0=y0)
+                              band_h=band_h, y0=y0,
+                              band_stride=band_stride)
 
     # --- shading (channel-planar: color is (3, H, W)) ---
     if mode == RenderMode.UNLIT:

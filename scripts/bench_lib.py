@@ -98,6 +98,65 @@ def fresh_bench(frames=30, passes=3, label="", **cfg_kw):
     return med
 
 
+def band_bench_interleaved(stride, frames=30, passes=3, label="",
+                           fresh=False, **cfg_kw):
+    """Per-chip timing of the INTERLEAVED row-band mode (r5 load
+    balancing): chip k renders tile rows k, k+stride, … — measures each
+    k position with the same jitted render_band(band_stride=stride) the
+    mesh path shards."""
+    from functools import partial
+    import jax
+    import jax.numpy as jnp
+    import kanirenderer_tpu as kani
+    from kanirenderer_tpu.passes.frame import render_band, render_shadow_map
+    from kanirenderer_tpu.ops.sampling import build_shadow_table
+
+    scene, states, cfg, cam0 = _setup(frames, **cfg_kw)
+    tiles_full = -(-cfg.height // cfg.tile_h)
+    J = -(-tiles_full // stride)
+    band_h = J * cfg.tile_h
+
+    banded = partial(jax.jit, static_argnames=("config", "band_h",
+                                               "band_stride"))(
+        lambda scene, state, config, y0, table=None, band_h=None,
+        band_stride=1:
+        render_band(scene, state, config, shadow_table=table,
+                    band_h=band_h, y0=y0, band_stride=band_stride))
+
+    tbl = None
+    if not fresh:
+        ones_tbl = jax.device_put(np.asarray(build_shadow_table(
+            jnp.ones((cfg.shadow_dim, cfg.shadow_dim), jnp.float32))))
+        banded(scene, states[0], cfg, jnp.float32(0.0), ones_tbl,
+               band_h=band_h,
+               band_stride=stride).image.block_until_ready()
+        state0 = kani.frame_state(scene, cam0, kani.default_lights())
+        sh_np = np.asarray(render_shadow_map(scene, state0, cfg))
+        tbl = jax.device_put(np.asarray(
+            build_shadow_table(jnp.asarray(sh_np))))
+
+    def fly(n, y0):
+        outs = None
+        t0 = time.perf_counter()
+        for k in range(n):
+            outs = banded(scene, states[k % len(states)], cfg,
+                          jnp.float32(y0), tbl, band_h=band_h,
+                          band_stride=stride)
+        outs.image.block_until_ready()
+        return time.perf_counter() - t0
+
+    fly(3, 0.0)
+    out = {}
+    for k in range(stride):
+        y0 = float(k * cfg.tile_h)
+        ps = [fly(frames, y0) / frames * 1000.0 for _ in range(passes)]
+        med = sorted(ps)[len(ps) // 2]
+        out[k] = round(med, 2)
+        print(f"IBAND {label} stride={stride} k={k}: median {med:.2f} "
+              f"ms/frame passes {[round(p, 2) for p in ps]}")
+    return out
+
+
 def band_bench(band_h, frames=30, passes=3, label="", fresh=False, **cfg_kw):
     """Per-band render_band timing — the single-chip measurement of the
     multi-chip row-band mesh's per-chip work (parallel/mesh.py shards the

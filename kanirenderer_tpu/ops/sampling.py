@@ -261,18 +261,51 @@ def build_shadow_table(shadow_map: Array) -> Array:
     orders of magnitude below the shadow depth bias."""
     D = shadow_map.shape[0]
     assert D % _B == 0, "shadow_dim must be a multiple of 8"
-    nb = D // _B
     q = jnp.round(jnp.clip(shadow_map, 0.0, 1.0) * 65535.0) \
         .astype(jnp.uint16)
     padded = jnp.pad(q, ((1, _B), (1, _B)), mode="edge")
+    return _table_from_padded_rows(padded[:D + 3], D)
+
+
+def _table_from_padded_rows(P: Array, D: int) -> Array:
+    """Block-window table rows from PADDED map rows.
+
+    ``P``: (8·nbb + 3, D + 9) u16 — the (edge/halo-)padded rows covering
+    a contiguous band of nbb block rows (the full map is the nbb = D/8
+    case; the sharded fresh-shadow path builds each chip's band from its
+    raster band + a 1-above/2-below ppermute halo and all_gathers the
+    TABLE instead of the map — parallel/mesh.py, r5)."""
+    W = D + _B + 1
+    nb = D // _B
+    nbb = (P.shape[0] - 3) // _B
     # rows: aligned 8-row groups + the next group's first 3 rows
-    a = padded[:D + _B].reshape(nb + 1, _B, D + _B + 1)
-    w1 = jnp.concatenate([a[:-1], a[1:, :3]], axis=1)      # (nb, 11, D+9)
+    top8 = P[:_B * nbb].reshape(nbb, _B, W)
+    nxt = P[_B:]
+    nxt3 = jnp.pad(nxt, ((0, _B * nbb - nxt.shape[0]), (0, 0))) \
+        .reshape(nbb, _B, W)[:, :3]
+    w1 = jnp.concatenate([top8, nxt3], axis=1)             # (nbb, 11, W-?)
     # columns: same split along x
-    c = w1[:, :, :D + _B].reshape(nb, _WIN, nb + 1, _B)
+    c = w1[:, :, :D + _B].reshape(nbb, _WIN, nb + 1, _B)
     w2 = jnp.concatenate([c[:, :, :-1], c[:, :, 1:, :3]], axis=3)
-    t = w2.transpose(0, 2, 1, 3).reshape(nb * nb, _WIN * _WIN)
+    t = w2.transpose(0, 2, 1, 3).reshape(nbb * nb, _WIN * _WIN)
     return jnp.pad(t, ((0, 0), (0, 128 - _WIN * _WIN)))
+
+
+def build_shadow_table_band(band: Array, top1: Array, bot2: Array,
+                            D: int) -> Array:
+    """This chip's table rows from its shadow-map ROW BAND + halo rows.
+
+    ``band``: (sb_h, D) f32 raster band (map rows [k·sb_h, (k+1)·sb_h));
+    ``top1``: (1, D) the map row just above (edge-clamped at k = 0);
+    ``bot2``: (2, D) the two map rows just below (edge-clamped at the
+    last chip).  Exactly build_shadow_table's rows for this band: block
+    row by needs map rows [8·by − 1, 8·by + 10], so a band needs 1 halo
+    row above and 2 below.  Returns (sb_h/8 · D/8, 128); an all_gather
+    over the band axis reassembles the full table."""
+    rows = jnp.concatenate([top1, band, bot2], axis=0)     # (sb_h+3, D)
+    q = jnp.round(jnp.clip(rows, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
+    P = jnp.pad(q, ((0, 0), (1, _B)), mode="edge")
+    return _table_from_padded_rows(P, D)
 
 
 def sample_shadow_pcf(shadow_table: Array, dim: int, u: Array, v: Array,

@@ -314,8 +314,34 @@ def render_band(scene: Scene, state: FrameState,
         sb_h = cfg.shadow_dim // shadow_bands
         sy0 = (jax.lax.axis_index(shadow_axis) * sb_h).astype(jnp.float32)
         band = _rasterize_depth(sh_setup, cfg, band_h=sb_h, y0=sy0)
+        if mode == RenderMode.LIT_SHADOW and sb_h % 8 == 0:
+            # Sharded-TABLE fresh shadow (r5): the PCF-table build is
+            # ~2.65 ms REPLICATED per chip when each builds from the
+            # gathered map (multichip_scaling_r5.json) — instead each
+            # chip builds the table rows for its own map band (a 1-row-
+            # above / 2-row-below ppermute halo makes it exact,
+            # ops/sampling.build_shadow_table_band) and the one per-frame
+            # all_gather moves the TABLE instead of the map.  DEBUG keeps
+            # the map path (its overlay quad displays the raw map).
+            from kanirenderer_tpu.ops.sampling import \
+                build_shadow_table_band
+            n = shadow_bands
+            idx = jax.lax.axis_index(shadow_axis)
+            up = jax.lax.ppermute(band[-1:], shadow_axis,
+                                  [(k, k + 1) for k in range(n - 1)])
+            top1 = jnp.where(idx == 0, band[0:1], up)
+            dn = jax.lax.ppermute(band[:2], shadow_axis,
+                                  [(k, k - 1) for k in range(1, n)])
+            bot2 = jnp.where(idx == n - 1,
+                             jnp.concatenate([band[-1:], band[-1:]]), dn)
+            tband = build_shadow_table_band(band, top1, bot2,
+                                            cfg.shadow_dim)
+            return ("table",
+                    jax.lax.all_gather(tband, shadow_axis, axis=0,
+                                       tiled=True))
         return jax.lax.all_gather(band, shadow_axis, axis=0, tiled=True)
 
+    shadow_tbl_pre = None
     if shadow_table is not None:
         shadow_emit = None
     elif not needs_shadow:
@@ -335,8 +361,14 @@ def render_band(scene: Scene, state: FrameState,
                                jnp.float32)),
             lambda: (lambda m: (m, m))(_fresh_shadow()))
     elif shadow_map is None:
-        shadow_map = _fresh_shadow()
-        shadow_emit = shadow_map
+        fresh = _fresh_shadow()
+        if isinstance(fresh, tuple) and fresh[0] == "table":
+            shadow_tbl_pre = fresh[1]
+            shadow_map = None
+            shadow_emit = jnp.zeros((1, 1), jnp.float32)
+        else:
+            shadow_map = fresh
+            shadow_emit = shadow_map
     else:
         shadow_emit = None  # statically external
 
@@ -367,16 +399,23 @@ def render_band(scene: Scene, state: FrameState,
         from kanirenderer_tpu.shade import deferred as deferred_mod
         gbuf = deferred_mod.write_gbuffer(scene, pix, state.camera.position,
                                           light_vp)
-        srows = build_shadow_table(shadow_map) \
-            if mode in (RenderMode.LIT_SHADOW, RenderMode.DEBUG) else None
+        if mode in (RenderMode.LIT_SHADOW, RenderMode.DEBUG):
+            srows = shadow_tbl_pre if shadow_tbl_pre is not None \
+                else build_shadow_table(shadow_map)
+        else:
+            srows = None
         color = deferred_mod.deferred_lighting(gbuf, state.lights, srows,
                                                cfg.hdr, cfg.shadow_dim)
     elif mode == RenderMode.LIT:
         color = forward.shade_lit(scene, pix, state.lights, None, cfg.hdr,
                                   camera_pos=state.camera.position)
     else:  # LIT_SHADOW or DEBUG
-        shadow_tbl = shadow_table if shadow_table is not None \
-            else build_shadow_table(shadow_map)
+        if shadow_table is not None:
+            shadow_tbl = shadow_table
+        elif shadow_tbl_pre is not None:
+            shadow_tbl = shadow_tbl_pre   # sharded-table fresh path
+        else:
+            shadow_tbl = build_shadow_table(shadow_map)
         color = forward.shade_lit(scene, pix, state.lights, shadow_tbl,
                                   cfg.hdr, cfg.shadow_dim,
                                   camera_pos=state.camera.position,

@@ -86,3 +86,39 @@ def test_scene_builder_chooses_combined_for_u8():
     assert scene.tex_diffuse.shape[0] == 0
     w = int(np.asarray(scene.mat_tex_size)[0, 0])
     assert int(np.asarray(scene.mat_blk_w)[0]) == -(-w // CMB_BX)
+
+
+def test_shadow_table_band_build_exact():
+    """Sharded PCF-table build (r5): each chip's table rows built from
+    its map row band + a 1-above/2-below halo must be BIT-identical to
+    the corresponding rows of the full build_shadow_table — the fresh
+    sharded path gathers the TABLE instead of the map
+    (passes/frame.py _fresh_shadow)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kanirenderer_tpu.ops.sampling import (build_shadow_table,
+                                               build_shadow_table_band)
+
+    D = 64
+    rng = np.random.RandomState(0)
+    m = rng.rand(D, D).astype(np.float32)
+    full = np.asarray(build_shadow_table(jnp.asarray(m)))
+    for n in (2, 4, 8):
+        sb = D // n
+        parts = []
+        for k in range(n):
+            band = m[k * sb:(k + 1) * sb]
+            top1 = m[max(k * sb - 1, 0):max(k * sb - 1, 0) + 1]
+            lo = (k + 1) * sb
+            if lo + 2 <= D:
+                bot2 = m[lo:lo + 2]
+            elif lo < D:
+                bot2 = np.concatenate(
+                    [m[lo:], np.repeat(m[-1:], 2 - (D - lo), 0)])
+            else:
+                bot2 = np.repeat(m[-1:], 2, 0)
+            parts.append(np.asarray(build_shadow_table_band(
+                jnp.asarray(band), jnp.asarray(top1), jnp.asarray(bot2),
+                D)))
+        np.testing.assert_array_equal(np.concatenate(parts), full,
+                                      err_msg=f"bands={n}")

@@ -104,6 +104,16 @@ def run(file_path: str = "", file_type: str = "opengl",
             shadow_tile_h=int(os.environ.get("KANI_SHADOW_TILE_H", 32)),
             max_tiles_per_chunk=32, max_chunks_per_tile=512,
             max_global_chunks=128)
+        if height <= 600:
+            # The 540p-dedicated sweep (r5 jobs 020-046): at quarter-
+            # pixel targets the res-independent blocks dominate and
+            # SHORTER tiles win — tile_h 16 + S16/G64 measures 62.7 FPS
+            # steady at 960×540 vs 58.2 with the 1080p-tuned set
+            # (docs/PERFORMANCE.md "render-scale").  This is the
+            # --render-scale 2 "≥60 FPS on one v5e" preset.
+            cfg = cfg.with_(
+                tile_h=int(os.environ.get("KANI_TILE_H", 16)),
+                max_tiles_per_chunk=16, max_global_chunks=64)
     # Content-adaptive occlusion scope (KANI_OCC=auto): replay the
     # kernels' skip logic over a tile sample of the loaded scene at the
     # starting pose and enable main-grid occlusion only when the

@@ -489,9 +489,17 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
                for (c0, _, c2) in cols]                      # (SUB, W) each
         lys = [Yc * rows[:, c1][None, :] for (_, c1, _) in cols]  # (H, SUB)
         if wireframe:
-            gs = [jax.lax.rsqrt(rows[:, c0] ** 2 + rows[:, c1] ** 2
-                                + 1e-30)[:, None]            # (SUB, 1)
+            # Edge-distance normalization folded into the SEPARABLE plane
+            # components (d = l·g = lx·g + ly·g): scaling the (SUB, W) /
+            # (H, SUB) halves broadcasts along ONE dimension each — a
+            # (1, 1) → tile broadcast of g is "broadcast in both sublanes
+            # and lanes", which Mosaic cannot lower (hardware compile
+            # failure found benching WIREFRAME at 1080p, job r5/066).
+            gv = [jax.lax.rsqrt(rows[:, c0] ** 2 + rows[:, c1] ** 2
+                                + 1e-30)                     # (SUB,)
                   for (c0, c1, _) in cols[:3]]
+            gxs = [lxs[t] * gv[t][:, None] for t in range(3)]
+            gys = [lys[t] * gv[t][None, :] for t in range(3)]
 
         def entry_for(k):
             l0, l1, l2, z = [
@@ -503,9 +511,10 @@ def _raster_kernel(hdr_ref, lists_hbm, setup_hbm, z_ref, tri_ref,
                 q = jnp.minimum(q, jnp.minimum(z, 1.0 - z))
             covered = q >= 0.0
             if wireframe:
-                d = jnp.minimum(jnp.minimum(l0 * gs[0][k:k + 1],
-                                            l1 * gs[1][k:k + 1]),
-                                l2 * gs[2][k:k + 1])
+                d = jnp.minimum(jnp.minimum(
+                    gxs[0][k:k + 1, :] + gys[0][:, k:k + 1],
+                    gxs[1][k:k + 1, :] + gys[1][:, k:k + 1]),
+                    gxs[2][k:k + 1, :] + gys[2][:, k:k + 1])
                 covered = covered & (d <= wire_thresh)
 
             z_c = jnp.where(covered, z, 2.0)
@@ -820,9 +829,17 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                for (c0, _, c2) in cols]                      # (SUB, W) each
         lys = [Yc * rows[:, c1][None, :] for (_, c1, _) in cols]  # (H, SUB)
         if wireframe:
-            gs = [jax.lax.rsqrt(rows[:, c0] ** 2 + rows[:, c1] ** 2
-                                + 1e-30)[:, None]            # (SUB, 1)
+            # Edge-distance normalization folded into the SEPARABLE plane
+            # components (d = l·g = lx·g + ly·g): scaling the (SUB, W) /
+            # (H, SUB) halves broadcasts along ONE dimension each — a
+            # (1, 1) → tile broadcast of g is "broadcast in both sublanes
+            # and lanes", which Mosaic cannot lower (hardware compile
+            # failure found benching WIREFRAME at 1080p, job r5/066).
+            gv = [jax.lax.rsqrt(rows[:, c0] ** 2 + rows[:, c1] ** 2
+                                + 1e-30)                     # (SUB,)
                   for (c0, c1, _) in cols[:3]]
+            gxs = [lxs[t] * gv[t][:, None] for t in range(3)]
+            gys = [lys[t] * gv[t][None, :] for t in range(3)]
 
         def z_for(k):
             l0, l1, l2, z = [
@@ -834,9 +851,10 @@ def _fused_kernel(hdr_ref, lists_hbm, rec_hbm, z_ref, vary_ref, mat_ref,
                 q = jnp.minimum(q, jnp.minimum(z, 1.0 - z))
             covered = q >= 0.0
             if wireframe:
-                d = jnp.minimum(jnp.minimum(l0 * gs[0][k:k + 1],
-                                            l1 * gs[1][k:k + 1]),
-                                l2 * gs[2][k:k + 1])
+                d = jnp.minimum(jnp.minimum(
+                    gxs[0][k:k + 1, :] + gys[0][:, k:k + 1],
+                    gxs[1][k:k + 1, :] + gys[1][:, k:k + 1]),
+                    gxs[2][k:k + 1, :] + gys[2][:, k:k + 1])
                 covered = covered & (d <= wire_thresh)
             return jnp.where(covered, z, 2.0)
 

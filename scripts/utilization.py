@@ -145,3 +145,36 @@ def utilization_block(frame_ms: float, evals_per_frame: float,
     if fresh_extra_ms is not None:
         out["fresh_shadow_extra_ms"] = round(fresh_extra_ms, 2)
     return out
+
+
+def _cli():
+    """CLI: print the bench-pose work counts as one JSON line.
+
+    Run in a CLEAN CPU-backend process (bench.py invokes it with
+    JAX_PLATFORMS=cpu and the TPU tunnel env unset): inside a
+    TPU-registered axon process the CPU-backend replay trips a runtime
+    buffer-count mismatch (job r5/074)."""
+    import argparse
+    import json
+    import os
+    import sys
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    args = ap.parse_args()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.dirname(here))   # repo root (the package)
+    sys.path.insert(0, here)
+    import bench_lib
+    scene, states, cfg, _ = bench_lib._setup(width=args.width,
+                                             height=args.height)
+    evals, per = main_grid_evals(scene, states, cfg)
+    print(json.dumps({"evals_mean": evals, "per_pose": per,
+                      "width": args.width, "height": args.height,
+                      "tile_h": cfg.tile_h}))
+
+
+if __name__ == "__main__":
+    _cli()

@@ -95,3 +95,36 @@ def test_layered_scene_renders_content():
     out = render_frame(scene, st, _small_cfg())
     covered = (np.asarray(out.depth) < 1.0).mean()
     assert covered > 0.95, covered
+
+
+def test_occ_with_interleaved_bands_exact():
+    """The two r5 features compose: occlusion scope "1" + interleaved
+    bands (full-grid z-ordered stream, per-chip header slice, stride-
+    scaled kernel y) must reassemble to the full-frame output exactly."""
+    from kanirenderer_tpu.ops.interpolate import build_tri_records
+    from tests.test_binning_pallas import _two_layer_setup
+
+    st = _two_layer_setup(height=192)
+    T = st.setup.shape[0]
+    cfg = kani.RenderConfig(width=256, height=192, occ_scope="1")
+    vary = jnp.zeros((T * 3, 24), jnp.float32)
+    rec = build_tri_records(jnp.zeros((T, 3), jnp.int32),
+                            jnp.zeros(T, jnp.int32), vary,
+                            jnp.zeros(1, jnp.int32),
+                            jnp.ones(1, jnp.int32),
+                            jnp.ones((1, 2), jnp.int32), setup=st.setup)
+    full = raster_pallas.rasterize_pixels(st, rec, cfg)
+    stride, th = 2, cfg.tile_h
+    J = (192 // th) // stride
+    z = np.zeros((192, 256), np.float32)
+    m = np.zeros((192, 256), bool)
+    for k in range(stride):
+        b = raster_pallas.rasterize_pixels(st, rec, cfg, band_h=J * th,
+                                           y0=jnp.float32(k * th),
+                                           y_stride=stride)
+        for j in range(J):
+            rows = slice((j * stride + k) * th, (j * stride + k + 1) * th)
+            z[rows] = np.asarray(b.z)[j * th:(j + 1) * th]
+            m[rows] = np.asarray(b.mask)[j * th:(j + 1) * th]
+    np.testing.assert_array_equal(m, np.asarray(full.mask))
+    np.testing.assert_array_equal(z, np.asarray(full.z))

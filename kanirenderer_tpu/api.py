@@ -72,8 +72,9 @@ def run(file_path: str = "", file_type: str = "opengl",
     width = int(os.environ.get("KANI_WIDTH", width))
     height = int(os.environ.get("KANI_HEIGHT", height))
     # Performance mode: render at 1/s resolution (one-chip interactivity
-    # ladder, measured: 1080p lit+shadow 26.6 steady / 22.9 fresh FPS;
-    # 960×540 58.4 / 43.1 — docs/PERFORMANCE.md roofline).
+    # ladder, measured: 1080p lit+shadow 26.7 steady / 22.9 fresh FPS;
+    # 960×540 62.7 / 45.8 with the dedicated r5 preset below —
+    # docs/PERFORMANCE.md "render-scale").
     render_scale = int(os.environ.get("KANI_RENDER_SCALE", render_scale))
     if render_scale > 1:
         width //= render_scale
